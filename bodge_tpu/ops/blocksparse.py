@@ -38,7 +38,7 @@ import scipy.sparse as sp
 BLOCK = 4  # 4×4 blocks: Nambu ⊗ Spin.
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)  # identity hash/eq: usable as a jit static arg
 class Skeleton:
     """Host-side sparsity skeleton for a cubic lattice of a given shape.
 

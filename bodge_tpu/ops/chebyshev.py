@@ -1,0 +1,284 @@
+"""Chebyshev / kernel-polynomial (KPM) spectral expansion.
+
+[NEW SCOPE] — the reference computes LDOS with a per-energy sparse-LU
+resolvent solve (``bodge/hamiltonian.py:323-387``), which has no TPU
+analog.  This module computes the same observables through Chebyshev
+polynomial expansion driven by repeated block-sparse SpMM — the classic
+KPM (Weiße et al., Rev. Mod. Phys. 78, 275 (2006)) reformulated for XLA:
+static-order `lax.scan` recursions over stencil SpMMs, Jackson/Lorentz
+kernel damping, and batched probe vectors.
+
+Pieces:
+
+- :func:`spectral_bound` — power-iteration estimate of ‖H‖₂ used to map
+  the spectrum into [−1, 1].
+- :func:`moments` — μ_m = ⟨v₀|T_m(H̃)|v₀⟩ for a batch of probe vectors via
+  the three-term recursion (one SpMM per order).
+- :func:`ldos_kpm` — local density of states from one site's four orbital
+  probes.
+- :func:`free_energy_kpm` — Landau free energy as ½ Tr G(H) with
+  G(E) = −|E|/2 − T·log(1+e^(−|E|/T)), via Chebyshev fitting of G and
+  (exact or stochastic Hutchinson) trace estimation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .blocksparse import BLOCK, Skeleton
+from .spmm import spmm
+
+DEFAULT_ORDER = 512
+
+
+def _rescaled_op(data, sk: Skeleton, inv_scale, impl: str):
+    def H_tilde(v):
+        return spmm(data, sk, v, impl=impl) * inv_scale
+
+    return H_tilde
+
+
+def spectral_bound(data, sk: Skeleton, iters: int = 60, key=None, impl: str = "stencil"):
+    """Estimate ‖H‖₂ by power iteration on the Hermitian operator.
+
+    The Rayleigh-quotient estimate never overshoots λ_max but can sit
+    slightly below it when the top of the spectrum clusters; the returned
+    bound is inflated by 5% (standard KPM practice) so spec(H/a) ⊂ (−1, 1)
+    robustly — Chebyshev recursions diverge exponentially if any
+    eigenvalue escapes the interval.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    N = sk.n_sites
+    v = jax.random.normal(key, (N, BLOCK, 1), dtype=data.dtype)
+
+    def step(v, _):
+        w = spmm(data, sk, v, impl=impl)
+        norm = jnp.linalg.norm(w)
+        return w / norm, norm
+
+    _, norms = lax.scan(step, v / jnp.linalg.norm(v), None, length=iters)
+    return float(norms[-1].real) * 1.05
+
+
+@partial(jax.jit, static_argnames=("sk", "order", "impl"))
+def _moments_scan(data, sk: Skeleton, v0, inv_scale, order: int, impl: str):
+    """μ_m[k] = Re ⟨v0_k | T_m(H̃) | v0_k⟩ for all K probe columns at once."""
+    H = _rescaled_op(data, sk, inv_scale, impl)
+
+    def inner(a, b):
+        return jnp.real(jnp.sum(jnp.conj(a) * b, axis=(0, 1)))
+
+    t0 = v0
+    t1 = H(v0)
+    mu0 = inner(v0, t0)
+    mu1 = inner(v0, t1)
+
+    def step(carry, _):
+        t_prev, t_cur = carry
+        t_next = 2.0 * H(t_cur) - t_prev
+        return (t_cur, t_next), inner(v0, t_next)
+
+    (_, _), mu_rest = lax.scan(step, (t0, t1), None, length=order - 2)
+    return jnp.concatenate([mu0[None], mu1[None], mu_rest], axis=0)  # [order, K]
+
+
+def moments(data, sk: Skeleton, v0, order: int, scale: float, impl: str = "stencil"):
+    """Chebyshev moments of H/scale against probe vectors ``v0: [N, 4, K]``."""
+    inv = jnp.asarray(1.0 / scale, dtype=jnp.real(jnp.zeros((), data.dtype)).dtype)
+    return _moments_scan(data, sk, v0, inv, order, impl)
+
+
+def jackson_kernel(order: int) -> np.ndarray:
+    """Jackson damping coefficients g_m (positivity-preserving)."""
+    m = np.arange(order)
+    M = order + 1
+    return (
+        (M - m) * np.cos(np.pi * m / M) + np.sin(np.pi * m / M) / np.tan(np.pi / M)
+    ) / M
+
+
+def lorentz_kernel(order: int, lam: float = 4.0) -> np.ndarray:
+    """Lorentz damping coefficients (resolvent-like broadening)."""
+    m = np.arange(order)
+    return np.sinh(lam * (1 - m / order)) / np.sinh(lam)
+
+
+_KERNELS = {"jackson": jackson_kernel, "lorentz": lorentz_kernel, "none": lambda M: np.ones(M)}
+
+
+def reconstruct_density(mu, energies_scaled, scale: float, kernel: str = "jackson"):
+    """KPM density reconstruction ρ(ε) from damped moments.
+
+    Args:
+        mu: ``[order, K]`` moments.
+        energies_scaled: x = ε/scale in (−1, 1), shape ``[M]``.
+        scale: the Chebyshev scale `a` (restores 1/a measure factor).
+        kernel: damping kernel name.
+
+    Returns:
+        ``[M, K]`` densities.
+    """
+    order = mu.shape[0]
+    g = jnp.asarray(_KERNELS[kernel](order))
+    x = jnp.asarray(energies_scaled)
+    m = jnp.arange(order)
+    # T_m(x) = cos(m·arccos x), evaluated for all orders at once.
+    Tmx = jnp.cos(m[None, :] * jnp.arccos(x)[:, None])  # [M, order]
+    weights = jnp.where(m == 0, 1.0, 2.0) * g
+    series = Tmx @ (weights[:, None] * mu)  # [M, K]
+    return series / (np.pi * scale * jnp.sqrt(1.0 - x[:, None] ** 2))
+
+
+LORENTZ_LAMBDA = 4.0
+
+
+def ldos_kpm(
+    data,
+    sk: Skeleton,
+    site_index: int,
+    energies,
+    order: Optional[int] = None,
+    kernel: str = "jackson",
+    scale: Optional[float] = None,
+    eta: Optional[float] = None,
+    impl: str = "stencil",
+) -> np.ndarray:
+    """Local density of states at one site via KPM.
+
+    Probes the four orbitals {e↑, e↓, h↑, h↓} of ``site_index`` with unit
+    vectors and sums the electron components; by particle-hole symmetry
+    this matches the reference's ± convention (``bodge/hamiltonian.py:
+    377-382``) for any signed probe energy.
+
+    Passing ``eta`` requests a target Lorentzian broadening: the Lorentz
+    kernel is selected and the expansion order is chosen as λ·a/η, which
+    reproduces the resolvent at ε+iη — the direct analog of the
+    reference's broadened sparse solve.
+    """
+    if scale is None:
+        scale = spectral_bound(data, sk, impl=impl)
+    if eta is not None:
+        kernel = "lorentz"
+        if order is None:
+            order = max(8, int(np.ceil(LORENTZ_LAMBDA * scale / eta)))
+    order = order or DEFAULT_ORDER
+
+    N = sk.n_sites
+    v0 = jnp.zeros((N, BLOCK, BLOCK), dtype=data.dtype)
+    v0 = v0.at[site_index, jnp.arange(BLOCK), jnp.arange(BLOCK)].set(1.0)
+
+    mu = moments(data, sk, v0, order, scale, impl=impl)  # [order, 4]
+    energies = np.array(energies, dtype=float)
+    x = np.clip(energies / scale, -0.999999, 0.999999)
+    dens = reconstruct_density(mu, jnp.asarray(x), scale, kernel=kernel)  # [M, 4]
+    ρ_e = np.asarray(dens[:, 0] + dens[:, 1])
+    return ρ_e
+
+
+def chebyshev_coefficients(fn, order: int, quad_points: Optional[int] = None) -> np.ndarray:
+    """Chebyshev-series coefficients of ``fn`` on [−1, 1] via Gauss quadrature."""
+    Q = quad_points or max(2 * order, 256)
+    theta = np.pi * (np.arange(Q) + 0.5) / Q
+    fx = fn(np.cos(theta))
+    m = np.arange(order)
+    c = 2.0 / Q * np.cos(np.outer(m, theta)) @ fx
+    c[0] /= 2.0
+    return c
+
+
+@partial(jax.jit, static_argnames=("sk", "order", "impl"))
+def _trace_fn_scan(data, sk: Skeleton, probes, coeffs, inv_scale, order: int, impl: str):
+    """Σ_m c_m ⟨z_k|T_m(H̃)|z_k⟩ accumulated over the scan, summed over k."""
+    H = _rescaled_op(data, sk, inv_scale, impl)
+
+    def inner(a, b):
+        return jnp.real(jnp.sum(jnp.conj(a) * b))
+
+    t0 = probes
+    t1 = H(probes)
+    acc = coeffs[0] * inner(probes, t0) + coeffs[1] * inner(probes, t1)
+
+    def step(carry, c_m):
+        t_prev, t_cur, acc = carry
+        t_next = 2.0 * H(t_cur) - t_prev
+        return (t_cur, t_next, acc + c_m * inner(probes, t_next)), None
+
+    (_, _, acc), _ = lax.scan(step, (t0, t1, acc), coeffs[2:])
+    return acc
+
+
+def trace_function(
+    data,
+    sk: Skeleton,
+    fn,
+    order: int,
+    scale: float,
+    samples: Optional[int] = None,
+    key=None,
+    kernel: str = "jackson",
+    impl: str = "stencil",
+) -> float:
+    """Tr fn(H) by Chebyshev expansion.
+
+    With ``samples=None`` the trace is exact: probes are the full identity,
+    batched as K = 4N columns (use only for small systems).  Otherwise a
+    Hutchinson estimator with ``samples`` Rademacher vectors is used —
+    unbiased, with O(1/√samples) stochastic error.
+    """
+    coeffs = chebyshev_coefficients(lambda x: fn(scale * x), order)
+    coeffs = coeffs * _KERNELS[kernel](order)
+    coeffs = jnp.asarray(coeffs)
+    rdtype = jnp.real(jnp.zeros((), data.dtype)).dtype
+    inv = jnp.asarray(1.0 / scale, dtype=rdtype)
+    N = sk.n_sites
+
+    if samples is None:
+        probes = jnp.eye(N * BLOCK, dtype=data.dtype).reshape(N, BLOCK, N * BLOCK)
+        return float(_trace_fn_scan(data, sk, probes, coeffs, inv, order, impl))
+
+    if key is None:
+        key = jax.random.PRNGKey(42)
+    z = jax.random.rademacher(key, (N, BLOCK, samples), dtype=rdtype).astype(data.dtype)
+    est = _trace_fn_scan(data, sk, z, coeffs, inv, order, impl)
+    return float(est) / samples
+
+
+def free_energy_kpm(
+    data,
+    sk: Skeleton,
+    temperature: float = 0.0,
+    order: int = DEFAULT_ORDER,
+    samples: Optional[int] = None,
+    key=None,
+    scale: Optional[float] = None,
+    impl: str = "stencil",
+) -> float:
+    """Landau free energy F = U − T·S without diagonalization.
+
+    Uses F = ½ Tr G(H) with G(E) = −|E|/2 − T·log(1+e^(−|E|/T)): summing
+    G over the positive spectrum (the reference formula,
+    ``bodge/hamiltonian.py:305-319``) equals half the trace over the full
+    particle-hole-symmetric spectrum.  Scales as O(order · nnz) — the
+    large-lattice path where dense eigh is infeasible.
+    """
+    T = float(temperature)
+    if T < 0:
+        raise ValueError("Expected non-negative temperature!")
+    if scale is None:
+        scale = spectral_bound(data, sk, impl=impl)
+
+    if T == 0:
+        g = lambda E: -np.abs(E) / 2
+    else:
+        g = lambda E: -np.abs(E) / 2 - T * np.log1p(np.exp(-np.abs(E) / T))
+
+    tr = trace_function(data, sk, g, order, scale, samples=samples, key=key, impl=impl)
+    return 0.5 * tr

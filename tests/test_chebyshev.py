@@ -1,0 +1,133 @@
+"""Chebyshev/KPM layer tests: moment correctness against dense recursion,
+spectral bounds, KPM LDOS physics, and KPM free energy vs dense eigh."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bodge_tpu import CubicLattice, Hamiltonian, jσ2, σ0, σ3
+from bodge_tpu.ops import chebyshev as kpm
+
+
+def swave_system(shape, Δ0=0.5, μ=1.0, t=1.0, m=0.0):
+    lattice = CubicLattice(shape)
+    system = Hamiltonian(lattice)
+    system.assemble(
+        onsite=lambda ci: -μ * σ0 - m * σ3,
+        pairing_onsite=lambda ci: Δ0 * jσ2,
+        hopping=lambda ci, cj: np.where(
+            (np.abs(ci - cj).max(axis=1) == 1)[:, None, None], -t * σ0, 0
+        ),
+    )
+    return lattice, system
+
+
+def test_spectral_bound_dominates_spectrum():
+    lattice, system = swave_system((8, 8, 1))
+    E = system.eigenvalues()
+    a = kpm.spectral_bound(system.data, system.skeleton)
+    assert a >= E.max()
+    assert a <= 2.5 * E.max()  # not wildly loose
+
+
+def test_moments_match_dense_recursion():
+    """Sparse scan moments must equal the dense Chebyshev recursion exactly."""
+    lattice, system = swave_system((5, 4, 1), Δ0=0.3)
+    sk = system.skeleton
+    N = lattice.size
+    a = kpm.spectral_bound(system.data, sk)
+    order = 24
+
+    site = lattice[(2, 2, 0)]
+    v0 = np.zeros((N, 4, 4), dtype=complex)
+    v0[site] = np.eye(4)
+
+    mu = np.asarray(kpm.moments(system.data, sk, jnp.asarray(v0), order, a))
+
+    # Dense reference: T_m(H/a) column recursion.
+    H = system.matrix("dense") / a
+    V0 = v0.reshape(4 * N, 4)
+    t_prev, t_cur = V0.copy(), H @ V0
+    mu_ref = [np.real(np.sum(np.conj(V0) * t_prev, axis=0))]
+    mu_ref.append(np.real(np.sum(np.conj(V0) * t_cur, axis=0)))
+    for _ in range(order - 2):
+        t_prev, t_cur = t_cur, 2 * (H @ t_cur) - t_prev
+        mu_ref.append(np.real(np.sum(np.conj(V0) * t_cur, axis=0)))
+    assert np.allclose(mu, np.array(mu_ref), atol=1e-10)
+
+
+def test_kpm_ldos_nonnegative_and_gapped():
+    """Jackson-damped KPM LDOS is ≥ 0 and shows the s-wave gap."""
+    lattice, system = swave_system((16, 16, 1), Δ0=0.5, μ=1.5)
+    site = lattice[(8, 8, 0)]
+    energies = np.array([-1.2, -0.8, -0.25, 0.0, 0.25, 0.8, 1.2]) * 0.5
+
+    ρ = kpm.ldos_kpm(system.data, system.skeleton, site, energies, order=1024)
+    assert np.all(ρ >= -1e-9)  # Jackson kernel preserves positivity
+
+    inside = ρ[[2, 3, 4]].mean()
+    outside = ρ[[0, 1, 5, 6]].mean()
+    assert outside > 3 * inside  # clear gap suppression
+
+
+def test_kpm_ldos_matches_broadened_resolvent():
+    """Lorentz-kernel KPM at matched η must reproduce the exact resolvent.
+
+    The Lorentz kernel approximates the resolvent at ε+iη with
+    η = λ·a/order, so comparing against the dense resolvent evaluated with
+    the *same* constant broadening is a quantitative parity check of the
+    Chebyshev path (the reference's observable with its adaptive Γ then
+    follows by choosing η per energy grid).
+    """
+    import jax.numpy as jnp
+    from bodge_tpu.ops import dense as dense_ops
+
+    lattice, system = swave_system((12, 12, 1), Δ0=0.4, μ=0.5)
+    site = (6, 6, 0)
+    i0 = lattice[site]
+    energies = np.linspace(-2.5, 2.5, 21)
+    η = 0.3
+
+    ρ_kpm = system.ldos(site, energies, method="kpm")
+    # method="kpm" with defaults is smoke-tested above; here use matched η.
+    ρ_kpm = kpm.ldos_kpm(system.data, system.skeleton, i0, energies, eta=η)
+
+    # Dense resolvent with the same constant broadening.
+    E, X = np.linalg.eigh(system.matrix("dense"))
+    amp2 = np.abs(X[4 * i0 : 4 * i0 + 2, :]) ** 2
+    w_e = amp2.sum(axis=0)
+    G = (w_e[None, :] / (energies[:, None] + 1j * η - E[None, :])).sum(axis=1)
+    ρ_ref = -np.imag(G) / np.pi
+
+    assert np.allclose(ρ_kpm, ρ_ref, rtol=0.08, atol=0.01)
+
+
+@pytest.mark.parametrize("T", [0.0, 0.1, 0.5])
+def test_kpm_free_energy_matches_dense(T):
+    lattice, system = swave_system((6, 6, 1), Δ0=0.4, μ=0.5)
+    F_dense = system.free_energy(T)
+    F_kpm = kpm.free_energy_kpm(system.data, system.skeleton, T, order=2048, samples=None)
+    # Exact-trace mode: error is pure Chebyshev truncation (|E| kink → slow
+    # but controlled convergence).
+    assert np.isclose(F_kpm, F_dense, rtol=2e-3, atol=5e-3 * lattice.size)
+
+
+def test_kpm_free_energy_stochastic():
+    lattice, system = swave_system((8, 8, 1), Δ0=0.4, μ=0.5)
+    T = 0.2
+    F_dense = system.free_energy(T)
+    F_kpm = kpm.free_energy_kpm(
+        system.data, system.skeleton, T, order=1024, samples=64
+    )
+    # Hutchinson noise scales ~‖G‖_F/√samples; stay within a few percent.
+    assert np.isclose(F_kpm, F_dense, rtol=0.05)
+
+
+def test_kernels():
+    g_j = kpm.jackson_kernel(128)
+    g_l = kpm.lorentz_kernel(128)
+    assert g_j[0] == pytest.approx(1.0, abs=1e-3)
+    assert np.all(np.diff(g_j) < 0) and g_j[-1] > 0
+    assert g_l[0] == pytest.approx(1.0)
+    assert np.all(g_l > 0)
