@@ -278,13 +278,31 @@ def hermiticity_error(data, sk: Skeleton):
     transpose of the block at ``(j, trans_slot[s])``.  Padding slots hold
     zeros on both sides and contribute nothing.  This is the vectorized
     analog of the reference's post-assembly check
-    (``bodge/hamiltonian.py:120-122``).
+    (``bodge/hamiltonian.py:120-122``).  Compiled as a single jitted unit —
+    op-by-op eager dispatch costs one (slow, possibly remote) compile per
+    op on the TPU tunnel.
     """
+    return _hermiticity_error_jit(data, sk)
+
+
+def _hermiticity_impl(data, sk: Skeleton):
     import jax.numpy as jnp
 
     safe_cols = np.where(sk.valid, sk.cols, 0)
-    mirror = data[safe_cols, sk.trans_slot[None, :]]  # [N, S, 4, 4]
+    trans = sk.trans_slot if sk.trans_slot.ndim == 2 else sk.trans_slot[None, :]
+    mirror = data[safe_cols, trans]  # [N, S, 4, 4]
     mirror = jnp.conj(jnp.swapaxes(mirror, -1, -2))
     diff = jnp.abs(data - mirror)
     diff = diff * sk.valid[..., None, None]
     return jnp.max(diff)
+
+
+@functools.lru_cache(maxsize=1)
+def _get_herm_jit():
+    import jax
+
+    return jax.jit(_hermiticity_impl, static_argnames=("sk",))
+
+
+def _hermiticity_error_jit(data, sk: Skeleton):
+    return _get_herm_jit()(data, sk)
