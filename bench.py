@@ -33,7 +33,12 @@ from bodge_tpu import CubicLattice, Hamiltonian, jσ2, σ0, σ3
 from bodge_tpu.ops import chebyshev as kpm
 from bodge_tpu.ops.blocksparse import BLOCK
 from bodge_tpu.ops.spmm import spmm, spmm_bytes, spmm_flops
-from bodge_tpu.utils.profiling import Roofline, best_time, measure_hbm_bandwidth
+from bodge_tpu.utils.profiling import (
+    Roofline,
+    best_time,
+    measure_hbm_bandwidth,
+    time_iterated,
+)
 
 SPMM_IMPL = "stencil"
 
@@ -57,7 +62,7 @@ def build_swave(L, W=None, Δ0=0.4, μ=0.5, t=1.0):
     return lattice, system
 
 
-def bench_spmm_chebyshev(L=200, order=256, K=4, hbm_bw=None):
+def bench_spmm_chebyshev(L=200, order=256, K=4, hbm_bw=None, impl="stencil"):
     """Headline: sustained SpMM throughput inside a KPM moment scan."""
     lattice, system = build_swave(L)
     sk = system.skeleton
@@ -66,22 +71,49 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, hbm_bw=None):
 
     v0 = jnp.zeros((N, BLOCK, K), dtype=dtype)
     v0 = v0.at[N // 2, jnp.arange(min(BLOCK, K)) % BLOCK, jnp.arange(min(BLOCK, K))].set(1.0)
-    inv = jnp.asarray(0.1, dtype=jnp.real(jnp.zeros((), dtype)).dtype)
 
-    @partial(jax.jit, static_argnames=("n",))
-    def scan_spmm(data, v, inv, n):
-        def step(carry, _):
-            t_prev, t_cur = carry
-            t_next = 2.0 * (spmm(data, sk, t_cur, impl=SPMM_IMPL) * inv) - t_prev
-            return (t_cur, t_next), None
+    if impl == "pallas":
+        from bodge_tpu.ops.pallas_spmm import pack_operator, pack_vector, spmm_pallas_packed
 
-        (_, out), _ = jax.lax.scan(step, (v, v), None, length=n)
-        return out
+        b_packed = pack_operator(system.data, sk)
+        v0p = pack_vector(v0, sk)
+        inv = jnp.asarray(0.1, jnp.float32)
 
-    log(f"[spmm] compiling scan (L={L}, order={order}, K={K}, {dtype})...")
-    scan_spmm(system.data, v0, inv, order).block_until_ready()
-    t_run = best_time(lambda: scan_spmm(system.data, v0, inv, order).block_until_ready())
-    t_step = t_run / order
+        @partial(jax.jit, static_argnames=("n",))
+        def scan_spmm(data, v, inv, n):
+            def step(carry, _):
+                t_prev, t_cur = carry
+                t_next = 2.0 * (spmm_pallas_packed(data, t_cur, sk, K) * inv) - t_prev
+                return (t_cur, t_next), None
+
+            (_, out), _ = jax.lax.scan(step, (v, v), None, length=n)
+            return out[0, 0, 0]
+
+        operand, vec = b_packed, v0p
+    else:
+        inv = jnp.asarray(0.1, dtype=jnp.real(jnp.zeros((), dtype)).dtype)
+
+        @partial(jax.jit, static_argnames=("n",))
+        def scan_spmm(data, v, inv, n):
+            def step(carry, _):
+                t_prev, t_cur = carry
+                t_next = 2.0 * (spmm(data, sk, t_cur, impl=impl) * inv) - t_prev
+                return (t_cur, t_next), None
+
+            (_, out), _ = jax.lax.scan(step, (v, v), None, length=n)
+            return jnp.real(out[0, 0, 0])  # scalar dependency on the full chain
+
+        operand, vec = system.data, v0
+
+    def make_run(n):
+        def run():
+            return float(scan_spmm(operand, vec, inv, n))
+
+        return run
+
+    log(f"[spmm:{impl}] compiling scan (L={L}, order={order}, K={K}, {dtype})...")
+    # Two-point slope: cancels dispatch/relay constants (async backend).
+    t_step = time_iterated(make_run, order // 4, order)
 
     nnz_scalars = sk.nnz_blocks * BLOCK * BLOCK
     itemsize = np.dtype(dtype).itemsize
@@ -92,8 +124,9 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, hbm_bw=None):
         hbm_bw=hbm_bw or measure_hbm_bandwidth(),
     )
     nnz_per_s = nnz_scalars / t_step
-    log(f"[spmm] {t_step*1e6:.1f} µs/step → {nnz_per_s/1e9:.2f} Gnnz/s; {roof.summary()}")
+    log(f"[spmm:{impl}] {t_step*1e6:.1f} µs/step → {nnz_per_s/1e9:.2f} Gnnz/s; {roof.summary()}")
     return {
+        "impl": impl,
         "lattice": [L, L, 1],
         "order": order,
         "K": K,
@@ -132,7 +165,7 @@ def bench_assembly(L=1024, W=1024):
             return np.where(bond, np.where(along_y, -2 * t_hop * σ0, -t_hop * σ0), 0)
 
         system.assemble(onsite=onsite, pairing_onsite=pair_onsite, hopping=hopping, check=False)
-        jax.block_until_ready(system.data)
+        float(jnp.real(system.data[0, 0, 0, 0]))  # force full materialization
         return system
 
     t_build = best_time(lambda: run(), repeats=3, warmup=1)
@@ -146,18 +179,38 @@ def bench_kpm_ldos(L=200, order=512):
     lattice, system = build_swave(L)
     i0 = lattice[(L // 2, L // 2, 0)]
     energies = np.linspace(-1.5, 1.5, 41)
+    scale = kpm.spectral_bound(system.data, system.skeleton)
 
     t0 = time.perf_counter()
-    ρ = system.ldos((L // 2, L // 2, 0), energies, method="kpm", order=order)
+    ρ = kpm.ldos_kpm(system.data, system.skeleton, i0, energies, order=order, scale=scale)
     t_first = time.perf_counter() - t0
     t_run = best_time(
-        lambda: kpm.ldos_kpm(system.data, system.skeleton, i0, energies, order=order),
+        lambda: np.sum(
+            kpm.ldos_kpm(system.data, system.skeleton, i0, energies, order=order, scale=scale)
+        ),
         repeats=3,
         warmup=0,
     )
     log(f"[ldos] KPM order {order} on {L}×{L}: {t_run:.3f} s (first call {t_first:.1f} s)")
     return {"lattice": [L, L, 1], "order": order, "time_s": t_run,
             "ldos_min": float(np.min(ρ)), "ldos_max": float(np.max(ρ))}
+
+
+def with_retries(label, fn, attempts=3):
+    """The remote-compile tunnel intermittently returns UNIMPLEMENTED /
+    INTERNAL errors; retry transient failures before giving up."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            msg = str(e)
+            transient = "UNIMPLEMENTED" in msg or "INTERNAL" in msg or "HTTP 5" in msg
+            if i + 1 < attempts and transient:
+                log(f"[bench] {label} transient failure ({msg[:80]}); retrying...")
+                time.sleep(15)
+                continue
+            log(f"[bench] {label} FAILED: {type(e).__name__}: {msg[:200]}")
+            return None
 
 
 def main():
@@ -167,18 +220,31 @@ def main():
     results = {"device": str(backend), "platform": backend.platform}
 
     log("[bench] measuring HBM bandwidth...")
-    hbm_bw = measure_hbm_bandwidth()
-    results["hbm_bw_GBps"] = hbm_bw / 1e9
-    log(f"[bench] achievable HBM BW ≈ {hbm_bw/1e9:.0f} GB/s")
+    hbm_bw = with_retries("hbm", measure_hbm_bandwidth)
+    results["hbm_bw_GBps"] = hbm_bw / 1e9 if hbm_bw else None
+    log(f"[bench] achievable HBM BW ≈ {hbm_bw/1e9:.0f} GB/s" if hbm_bw else "[bench] BW n/a")
 
-    results["chebyshev_spmm"] = bench_spmm_chebyshev(hbm_bw=hbm_bw)
-    results["assembly"] = bench_assembly()
-    results["kpm_ldos"] = bench_kpm_ldos()
+    cands = []
+    for impl in ("stencil", "pallas"):
+        r = with_retries(
+            f"spmm:{impl}", lambda impl=impl: bench_spmm_chebyshev(hbm_bw=hbm_bw, impl=impl)
+        )
+        if r:
+            results[f"chebyshev_spmm_{impl}"] = r
+            cands.append(r)
+    results["chebyshev_spmm"] = max(cands, key=lambda r: r["nnz_per_s"]) if cands else None
+
+    results["assembly"] = with_retries("assembly", bench_assembly)
+    results["kpm_ldos"] = with_retries("ldos", bench_kpm_ldos)
 
     with open("bench_results.json", "w") as f:
         json.dump(results, f, indent=2)
 
     head = results["chebyshev_spmm"]
+    if head is None:
+        print(json.dumps({"metric": "chebyshev_spmm_throughput", "value": 0,
+                          "unit": "nnz/s", "vs_baseline": 0}))
+        return
     print(
         json.dumps(
             {

@@ -40,6 +40,48 @@ from .ops.spmm import spmm as _spmm
 
 HERMITICITY_TOL = 1e-6
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _assemble_kernel(sk, has_onsite, has_pair_onsite, has_hop, has_pair, reset):
+    """One jitted device kernel applying all assembly writes for a given
+    term-combination signature (mask-based dense slot writes, no scatters)."""
+    valid_masks = [
+        (sk.cols[:, s] >= 0)[:, None, None] for s in range(sk.n_slots)
+    ]
+
+    def fn(data, onsite_v, pair_onsite_v, hop_v, pair_v, pair_rev_v):
+        if reset:
+            data = jnp.zeros_like(data)
+        if has_onsite:
+            data = data.at[:, 0, 0:2, 0:2].set(onsite_v)
+            data = data.at[:, 0, 2:4, 2:4].set(-jnp.conj(onsite_v))
+        if has_pair_onsite:
+            vH = jnp.conj(jnp.swapaxes(pair_onsite_v, -1, -2))
+            data = data.at[:, 0, 0:2, 2:4].set(pair_onsite_v)
+            data = data.at[:, 0, 2:4, 0:2].set(vH)
+        for s in range(1, sk.n_slots):
+            mask = valid_masks[s]
+            if not mask.any():
+                continue
+            k = s - 1
+            if has_hop:
+                v = jnp.where(mask, hop_v[k], data[:, s, 0:2, 0:2])
+                data = data.at[:, s, 0:2, 0:2].set(v)
+                data = data.at[:, s, 2:4, 2:4].set(
+                    jnp.where(mask, -jnp.conj(v), data[:, s, 2:4, 2:4])
+                )
+            if has_pair:
+                v = jnp.where(mask, pair_v[k], data[:, s, 0:2, 2:4])
+                vH = jnp.conj(jnp.swapaxes(pair_rev_v[k], -1, -2))
+                vH = jnp.where(mask, vH, data[:, s, 2:4, 0:2])
+                data = data.at[:, s, 0:2, 2:4].set(v)
+                data = data.at[:, s, 2:4, 0:2].set(vH)
+        return data
+
+    return jax.jit(fn)
+
 
 class Hamiltonian:
     """Block-sparse 4N×4N Bogoliubov-de Gennes Hamiltonian on a lattice.
@@ -182,55 +224,66 @@ class Hamiltonian:
             coords_all = self.lattice.site_coords.astype(np.int64)
         else:
             coords_all = np.array([c for c in self.lattice.sites()], dtype=np.int64)
+        N = len(coords_all)
 
-        data = jnp.zeros_like(self._data) if reset else self._data
-
-        def as_blocks(v, n):
+        def as_blocks(v):
             v = np.asarray(v, dtype=self.dtype)
             if v.ndim == 2:
-                v = np.broadcast_to(v, (n, 2, 2))
-            return jnp.asarray(v)
+                v = np.broadcast_to(v, (N, 2, 2))
+            return v
+
+        # Evaluate all user callables host-side (NumPy), then apply every
+        # symmetry-respecting write in ONE jitted kernel: eager per-op
+        # dispatch costs one (slow, possibly remote) compile per op.
+        dummy = np.zeros((0,), dtype=self.dtype)
+        onsite_v = pair_onsite_v = hop_v = pair_v = pair_rev_v = dummy
 
         if onsite is not None:
             v = onsite(coords_all)
-            if v is not None:
-                v = as_blocks(v, len(coords_all))
-                data = data.at[:, 0, 0:2, 0:2].set(v)
-                data = data.at[:, 0, 2:4, 2:4].set(-jnp.conj(v))
-
+            onsite_v = as_blocks(v) if v is not None else dummy
         if pairing_onsite is not None:
             v = pairing_onsite(coords_all)
-            if v is not None:
-                v = as_blocks(v, len(coords_all))
-                vH = jnp.conj(jnp.swapaxes(v, -1, -2))
-                data = data.at[:, 0, 0:2, 2:4].set(v)
-                data = data.at[:, 0, 2:4, 0:2].set(vH)
+            pair_onsite_v = as_blocks(v) if v is not None else dummy
 
         if hopping is not None or pairing is not None:
+            hop_s, pair_s, pair_rev_s = [], [], []
             for s in range(1, sk.n_slots):
                 valid = sk.cols[:, s] >= 0
-                if not valid.any():
-                    continue
-                rows = np.nonzero(valid)[0]
-                cols = sk.cols[rows, s]
-                ci, cj = coords_all[rows], coords_all[cols]
+                safe_cols = np.where(valid, sk.cols[:, s], 0)
+                ci, cj = coords_all, coords_all[safe_cols]
                 if hopping is not None:
                     v = hopping(ci, cj)
-                    if v is not None:
-                        v = as_blocks(v, len(rows))
-                        data = data.at[rows, s, 0:2, 0:2].set(v)
-                        data = data.at[rows, s, 2:4, 2:4].set(-jnp.conj(v))
+                    hop_s.append(as_blocks(v) if v is not None else np.zeros((N, 2, 2), self.dtype))
                 if pairing is not None:
                     v = pairing(ci, cj)
-                    v_rev = pairing(cj, ci)
-                    if v is not None:
-                        v = as_blocks(v, len(rows))
-                        v_rev = as_blocks(v_rev, len(rows))
-                        vH = jnp.conj(jnp.swapaxes(v_rev, -1, -2))
-                        data = data.at[rows, s, 0:2, 2:4].set(v)
-                        data = data.at[rows, s, 2:4, 0:2].set(vH)
+                    vr = pairing(cj, ci)
+                    pair_s.append(as_blocks(v) if v is not None else np.zeros((N, 2, 2), self.dtype))
+                    pair_rev_s.append(
+                        as_blocks(vr) if vr is not None else np.zeros((N, 2, 2), self.dtype)
+                    )
+            if hop_s:
+                hop_v = np.stack(hop_s)
+            if pair_s:
+                pair_v = np.stack(pair_s)
+                pair_rev_v = np.stack(pair_rev_s)
 
-        self._data = data
+        kernel = _assemble_kernel(
+            sk,
+            onsite_v.size > 0,
+            pair_onsite_v.size > 0,
+            hop_v.size > 0,
+            pair_v.size > 0,
+            reset,
+        )
+        self._data = kernel(
+            self._data,
+            jnp.asarray(onsite_v),
+            jnp.asarray(pair_onsite_v),
+            jnp.asarray(hop_v),
+            jnp.asarray(pair_v),
+            jnp.asarray(pair_rev_v),
+        )
+
         if check:
             err = float(bs.hermiticity_error(self._data, self._sk))
             if err > HERMITICITY_TOL:

@@ -90,9 +90,55 @@ def _moments_scan(data, sk: Skeleton, v0, inv_scale, order: int, impl: str):
     return jnp.concatenate([mu0[None], mu1[None], mu_rest], axis=0)  # [order, K]
 
 
+@partial(jax.jit, static_argnames=("sk", "order", "K"))
+def _moments_scan_packed(b_packed, v0_packed, sk: Skeleton, inv_scale, order: int, K: int):
+    """Moment recursion entirely in the Pallas packed layout.
+
+    Packing is a permutation plus zero padding, so inner products computed
+    in packed space equal the unpacked ones exactly; the operator is packed
+    once per sweep instead of once per SpMM.
+    """
+    from .pallas_spmm import spmm_pallas_packed
+
+    Lx = v0_packed.shape[0]
+    P = v0_packed.shape[-1]
+
+    def inner(a, b):
+        a4 = a.reshape(Lx, 2, BLOCK, K, P)
+        b4 = b.reshape(Lx, 2, BLOCK, K, P)
+        return jnp.sum(a4 * b4, axis=(0, 1, 2, 4))
+
+    def H(v):
+        return spmm_pallas_packed(b_packed, v, sk, K) * inv_scale
+
+    t0 = v0_packed
+    t1 = H(v0_packed)
+    mu0 = inner(v0_packed, t0)
+    mu1 = inner(v0_packed, t1)
+
+    def step(carry, _):
+        t_prev, t_cur = carry
+        t_next = 2.0 * H(t_cur) - t_prev
+        return (t_cur, t_next), inner(v0_packed, t_next)
+
+    (_, _), mu_rest = lax.scan(step, (t0, t1), None, length=order - 2)
+    return jnp.concatenate([mu0[None], mu1[None], mu_rest], axis=0)
+
+
 def moments(data, sk: Skeleton, v0, order: int, scale: float, impl: str = "stencil"):
     """Chebyshev moments of H/scale against probe vectors ``v0: [N, 4, K]``."""
     inv = jnp.asarray(1.0 / scale, dtype=jnp.real(jnp.zeros((), data.dtype)).dtype)
+    if impl == "pallas":
+        from .pallas_spmm import pack_operator, pack_vector, supported
+
+        if supported(sk):
+            K = v0.shape[-1]
+            b_packed = pack_operator(data, sk)
+            v0_packed = pack_vector(v0, sk)
+            return _moments_scan_packed(
+                b_packed, v0_packed, sk, jnp.asarray(inv, jnp.float32), order, K
+            )
+        impl = "stencil"
     return _moments_scan(data, sk, v0, inv, order, impl)
 
 

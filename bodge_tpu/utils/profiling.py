@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import Callable
 
 import jax
@@ -28,24 +29,55 @@ def best_time(fn: Callable[[], None], repeats: int = 5, warmup: int = 2) -> floa
     return best
 
 
-def measure_hbm_bandwidth(nbytes: int = 1 << 28, repeats: int = 5) -> float:
-    """Achievable HBM bandwidth (bytes/s) from a jitted copy (read+write).
+def time_iterated(make_run: Callable[[int], Callable[[], float]], n_lo: int, n_hi: int,
+                  repeats: int = 3) -> float:
+    """Per-iteration wall-clock via a two-point slope fit.
 
-    A unary elementwise op moves each element HBM→chip→HBM once; the
-    returned figure counts both directions, matching how kernel traffic is
-    accounted in :func:`roofline`.
+    ``make_run(n)`` must return a zero-arg callable executing ``n``
+    *sequentially dependent* iterations of the kernel and returning a
+    Python scalar derived from the result (forcing a device→host fetch).
+    Timing the difference between ``n_hi`` and ``n_lo`` iterations cancels
+    dispatch/transfer constants — essential on asynchronous/relayed
+    backends where ``block_until_ready`` returns before compute finishes.
     """
-    n = nbytes // 4
-    x = jnp.zeros((n,), dtype=jnp.float32)
+    run_lo, run_hi = make_run(n_lo), make_run(n_hi)
+    run_lo(), run_hi()  # compile both
+    t_lo = best_time(run_lo, repeats=repeats, warmup=1)
+    t_hi = best_time(run_hi, repeats=repeats, warmup=1)
+    return max(t_hi - t_lo, 1e-12) / (n_hi - n_lo)
+
+
+def measure_hbm_bandwidth(nbytes: int = 1 << 28) -> float:
+    """Achievable HBM bandwidth (bytes/s) via an array-*size* slope fit.
+
+    A chained elementwise loop gets fused by XLA into one in-register
+    kernel (measuring FLOPs, not bandwidth), and single dispatches through
+    an async relay measure launch latency.  Instead we time one
+    reduce-to-scalar pass (`sum(x * 1.0000001)`: one full read, negligible
+    write) over a small and a large array and fit the slope over bytes —
+    per-dispatch constants cancel, and a reduction cannot skip reading any
+    element.  The returned figure doubles the read rate to account
+    read+write traffic of a copy-like kernel.
+    """
 
     @jax.jit
-    def bump(v):
-        return v + 1.0
+    def reduce_pass(v):
+        return jnp.sum(v * 1.0000001)
 
-    x = bump(x)  # compile + materialize
-    x.block_until_ready()
-    t = best_time(lambda: bump(x).block_until_ready(), repeats=repeats)
-    return 2 * n * 4 / t
+    def timer(n):
+        x = jnp.full((n,), 1.000001, dtype=jnp.float32)
+        r = float(reduce_pass(x))  # compile + warm
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            r = float(reduce_pass(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n_small, n_large = nbytes // 16, nbytes // 4
+    t_small, t_large = timer(n_small), timer(n_large)
+    read_bps = 4 * (n_large - n_small) / max(t_large - t_small, 1e-9)
+    return 2 * read_bps
 
 
 @dataclass

@@ -1,0 +1,89 @@
+"""Pallas stencil-kernel tests (interpreter mode on CPU): pack/unpack
+round-trips and bit-level agreement with the XLA stencil SpMM."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bodge_tpu import CubicLattice, Hamiltonian, jσ2, σ0, σ2, σ3
+from bodge_tpu.ops import pallas_spmm as pk
+from bodge_tpu.ops.spmm import spmm_stencil
+
+
+def random_system(shape, pbc, seed=0):
+    lattice = CubicLattice(shape)
+    system = Hamiltonian(lattice)
+    rng = np.random.default_rng(seed)
+
+    def herm2(n):
+        c = rng.normal(size=(4, n, 1, 1))
+        return c[0] * σ0 + c[1] * np.array([[0, 1], [1, 0]]) + c[2] * σ2 + c[3] * σ3
+
+    def hopping(ci, cj):
+        bond = (np.abs(ci - cj).max(axis=1) == 1)[:, None, None]
+        keep = np.ones_like(bond) if pbc else bond
+        return np.where(keep, herm2(len(ci)), 0)
+
+    # Note: hopping(ci, cj) and hopping(cj, ci) are independent random draws;
+    # Hermiticity is irrelevant for SpMM agreement, so skip the check.
+    system.assemble(
+        onsite=lambda ci: herm2(len(ci)),
+        pairing_onsite=lambda ci: herm2(len(ci)) @ np.asarray(jσ2),
+        hopping=hopping,
+        pairing=hopping,
+        check=False,
+    )
+    return lattice, system
+
+
+@pytest.mark.parametrize("shape,pbc", [((6, 5, 1), False), ((6, 5, 1), True), ((4, 7, 1), True)])
+def test_pallas_matches_stencil(shape, pbc):
+    lattice, system = random_system(shape, pbc)
+    sk = system.skeleton
+    assert pk.supported(sk)
+
+    rng = np.random.default_rng(1)
+    K = 4
+    v = jnp.asarray(
+        (rng.normal(size=(lattice.size, 4, K)) + 1j * rng.normal(size=(lattice.size, 4, K))).astype(
+            np.complex64
+        )
+    )
+    data64 = system.data.astype(jnp.complex64)
+
+    want = np.asarray(spmm_stencil(data64, sk, v))
+    got = np.asarray(pk.spmm_pallas(data64, sk, v))
+    assert np.allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_pack_roundtrip():
+    lattice, system = random_system((6, 5, 1), pbc=True)
+    sk = system.skeleton
+    rng = np.random.default_rng(2)
+    v = jnp.asarray(
+        (rng.normal(size=(lattice.size, 4, 3)) + 1j * rng.normal(size=(lattice.size, 4, 3))).astype(
+            np.complex64
+        )
+    )
+    vp = pk.pack_vector(v, sk)
+    assert vp.shape[-1] % 128 == 0
+    back = pk.unpack_vector(vp, sk, 3, jnp.complex64)
+    assert np.allclose(np.asarray(back), np.asarray(v), atol=1e-6)
+
+    # Inner products are invariant under packing (permutation + zero pad).
+    ip_packed = float(jnp.sum(vp * vp))
+    ip_plain = float(jnp.sum(jnp.real(v) ** 2 + jnp.imag(v) ** 2))
+    assert np.isclose(ip_packed, ip_plain, rtol=1e-6)
+
+
+def test_pallas_unsupported_fallback():
+    lattice = CubicLattice((4, 4, 2))  # 3D: not yet kernel-covered
+    system = Hamiltonian(lattice)
+    system.assemble(onsite=lambda ci: 2.0 * σ0)
+    sk = system.skeleton
+    assert not pk.supported(sk)
+    v = jnp.ones((lattice.size, 4, 2), dtype=system.dtype)
+    got = np.asarray(pk.spmm_pallas(system.data, sk, v))
+    want = np.asarray(spmm_stencil(system.data, sk, v))
+    assert np.allclose(got, want)
