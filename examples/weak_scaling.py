@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Weak-scaling study of the row-partitioned Chebyshev free-energy sweep.
+
+BASELINE config 5: a large row-partitioned lattice whose Chebyshev
+free-energy sweep runs with halo-exchange collectives.  Each device owns a
+fixed LOCAL problem (Lx_local x W plane slab); the global lattice grows
+with the device count, so ideal scaling is constant wall-clock.  Efficiency
+= t(1 device) / t(P devices).
+
+Run without hardware on virtual devices:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python examples/weak_scaling.py --local-lx 16 --width 64
+
+On a real pod slice, run one process per host with jax.distributed
+initialized; the same sharded program spans hosts (halos over ICI/DCN).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--local-lx", type=int, default=16, help="x-planes per device")
+    ap.add_argument("--width", type=int, default=64)
+    ap.add_argument("--order", type=int, default=64)
+    ap.add_argument("--samples", type=int, default=8)
+    ap.add_argument("--temperature", type=float, default=0.1)
+    args = ap.parse_args()
+
+    import jax
+
+    from bodge_tpu.models.systems import swave_superconductor
+    from bodge_tpu.parallel import RowSharding, free_energy_kpm_sharded, make_row_mesh
+
+    n_avail = len(jax.devices())
+    if jax.devices()[0].platform == "cpu":
+        print(
+            "NOTE: virtual CPU devices share the host's physical cores — "
+            "efficiencies here validate correctness, not scaling. Run on a "
+            "pod slice for meaningful numbers."
+        )
+    counts = [p for p in (1, 2, 4, 8, 16, 32) if p <= n_avail]
+    results = []
+
+    for p in counts:
+        mesh = make_row_mesh(p)
+        system = swave_superconductor((args.local_lx * p, args.width, 1), delta=0.4)
+        rs = RowSharding(system.skeleton, mesh)
+        data = rs.shard_data(system.data)
+
+        run = lambda: free_energy_kpm_sharded(
+            rs, data, args.temperature, scale=6.0, order=args.order, samples=args.samples
+        )
+        F = run()  # compile
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            F = run()
+        dt = (time.perf_counter() - t0) / reps
+        results.append({"devices": p, "sites": system.lattice.size, "time_s": dt, "F": F})
+        print(f"P={p:3d}  sites={system.lattice.size:9d}  t={dt:8.4f}s  F={F:.2f}")
+
+    t1 = results[0]["time_s"]
+    for r in results:
+        r["weak_scaling_efficiency"] = t1 / r["time_s"]
+        print(f"P={r['devices']:3d}  efficiency={100*r['weak_scaling_efficiency']:.1f}%")
+
+    with open("weak_scaling.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
