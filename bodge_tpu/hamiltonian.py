@@ -358,13 +358,24 @@ class Hamiltonian:
         E = jnp.linalg.eigvalsh(Hd)
         return np.asarray(E[E.shape[0] // 2 :])
 
-    def free_energy(self, temperature: float = 0.0, cuda: bool = False) -> float:
+    def free_energy(
+        self,
+        temperature: float = 0.0,
+        cuda: bool = False,
+        method: str = "dense",
+        **kpm_kwargs,
+    ) -> float:
         """Landau free energy F = U − T·S from the positive spectrum.
 
         Same formulas as ``bodge/hamiltonian.py:305-319`` (Appendix C of
         Ouassou et al. PRB 109, 174506); the mean-field condensation
         constant is *not* included and must be added by the caller for
         self-consistent calculations.
+
+        ``method="kpm"`` computes the same quantity by Chebyshev expansion
+        of the free-energy integrand plus (stochastic) trace estimation —
+        O(order·nnz) instead of O(N³); see
+        :func:`bodge_tpu.ops.chebyshev.free_energy_kpm` for the knobs.
         """
         if cuda:
             raise RuntimeError(
@@ -372,8 +383,22 @@ class Hamiltonian:
             )
         if temperature < 0:
             raise ValueError("Expected non-negative temperature!")
+        if method == "kpm":
+            from .ops import chebyshev
+
+            return chebyshev.free_energy_kpm(
+                self._data, self._sk, temperature, **kpm_kwargs
+            )
+        if method != "dense":
+            raise RuntimeError(f"free_energy method '{method}' is not supported")
         E = jnp.asarray(self.eigenvalues())
         return float(dense_ops.free_energy_from_spectrum(E, temperature))
+
+    def dos(self, energies, method: str = "kpm", **kpm_kwargs) -> np.ndarray:
+        """Total density of states over all 4N orbitals (KPM-based)."""
+        from .ops import chebyshev
+
+        return chebyshev.dos_kpm(self._data, self._sk, energies, **kpm_kwargs)
 
     def ldos(
         self,

@@ -58,14 +58,53 @@ def spectral_bound(data, sk: Skeleton, iters: int = 60, key=None, impl: str = "s
         key = jax.random.PRNGKey(0)
     N = sk.n_sites
     v = jax.random.normal(key, (N, BLOCK, 1), dtype=data.dtype)
+    return float(_power_iteration(data, sk, v, iters, impl)) * 1.05
 
+
+@partial(jax.jit, static_argnames=("sk", "iters", "impl"))
+def _power_iteration(data, sk: Skeleton, v, iters: int, impl: str):
     def step(v, _):
         w = spmm(data, sk, v, impl=impl)
         norm = jnp.linalg.norm(w)
         return w / norm, norm
 
     _, norms = lax.scan(step, v / jnp.linalg.norm(v), None, length=iters)
-    return float(norms[-1].real) * 1.05
+    return norms[-1].real
+
+
+def _doubled_moment_scan(H, inner, v0, order: int):
+    """Shared moment recursion with the product doubling trick.
+
+    One SpMM yields TWO moments via the Chebyshev product identities
+    T_{2m} = 2·T_m² − 1 and T_{2m+1} = 2·T_{m+1}·T_m − T_1:
+
+        μ_{2m}   = 2⟨t_m, t_m⟩     − μ_0
+        μ_{2m+1} = 2⟨t_{m+1}, t_m⟩ − μ_1
+
+    halving the SpMM count versus the plain three-term recursion (Weiße et
+    al. RMP 78, 275, Sec. II-D).  ``inner`` must be the *real* inner
+    product (psum-reduced in sharded callers).
+    """
+    t0 = v0
+    t1 = H(v0)
+    mu0 = inner(v0, t0)
+    mu1 = inner(v0, t1)
+
+    steps = max(0, (order - 2 + 1) // 2)  # ceil((order-2)/2)
+
+    def step(carry, _):
+        t_prev, t_cur = carry
+        t_next = 2.0 * H(t_cur) - t_prev
+        alpha = 2.0 * inner(t_cur, t_cur) - mu0  # μ_{2m}
+        beta = 2.0 * inner(t_next, t_cur) - mu1  # μ_{2m+1}
+        return (t_cur, t_next), (alpha, beta)
+
+    if steps == 0:
+        return jnp.stack([mu0, mu1])[:order]
+    (_, _), (alphas, betas) = lax.scan(step, (t0, t1), None, length=steps)
+    # Interleave (μ_2, μ_3), (μ_4, μ_5), ...
+    rest = jnp.stack([alphas, betas], axis=1).reshape(2 * steps, *mu0.shape)
+    return jnp.concatenate([mu0[None], mu1[None], rest], axis=0)[:order]
 
 
 @partial(jax.jit, static_argnames=("sk", "order", "impl"))
@@ -76,18 +115,7 @@ def _moments_scan(data, sk: Skeleton, v0, inv_scale, order: int, impl: str):
     def inner(a, b):
         return jnp.real(jnp.sum(jnp.conj(a) * b, axis=(0, 1)))
 
-    t0 = v0
-    t1 = H(v0)
-    mu0 = inner(v0, t0)
-    mu1 = inner(v0, t1)
-
-    def step(carry, _):
-        t_prev, t_cur = carry
-        t_next = 2.0 * H(t_cur) - t_prev
-        return (t_cur, t_next), inner(v0, t_next)
-
-    (_, _), mu_rest = lax.scan(step, (t0, t1), None, length=order - 2)
-    return jnp.concatenate([mu0[None], mu1[None], mu_rest], axis=0)  # [order, K]
+    return _doubled_moment_scan(H, inner, v0, order)  # [order, K]
 
 
 @partial(jax.jit, static_argnames=("sk", "order", "K"))
@@ -111,18 +139,7 @@ def _moments_scan_packed(b_packed, v0_packed, sk: Skeleton, inv_scale, order: in
     def H(v):
         return spmm_pallas_packed(b_packed, v, sk, K) * inv_scale
 
-    t0 = v0_packed
-    t1 = H(v0_packed)
-    mu0 = inner(v0_packed, t0)
-    mu1 = inner(v0_packed, t1)
-
-    def step(carry, _):
-        t_prev, t_cur = carry
-        t_next = 2.0 * H(t_cur) - t_prev
-        return (t_cur, t_next), inner(v0_packed, t_next)
-
-    (_, _), mu_rest = lax.scan(step, (t0, t1), None, length=order - 2)
-    return jnp.concatenate([mu0[None], mu1[None], mu_rest], axis=0)
+    return _doubled_moment_scan(H, inner, v0_packed, order)
 
 
 def moments(data, sk: Skeleton, v0, order: int, scale: float, impl: str = "stencil"):
@@ -227,6 +244,54 @@ def ldos_kpm(
     dens = reconstruct_density(mu, jnp.asarray(x), scale, kernel=kernel)  # [M, 4]
     ρ_e = np.asarray(dens[:, 0] + dens[:, 1])
     return ρ_e
+
+
+def dos_kpm(
+    data,
+    sk: Skeleton,
+    energies,
+    order: Optional[int] = None,
+    kernel: str = "jackson",
+    scale: Optional[float] = None,
+    eta: Optional[float] = None,
+    samples: Optional[int] = 16,
+    key=None,
+    impl: str = "stencil",
+) -> np.ndarray:
+    """Total density of states Tr δ(ε−H) via KPM.
+
+    [NEW SCOPE] — no reference counterpart; the global analog of
+    :func:`ldos_kpm`.  With ``samples=None`` the trace probes are the full
+    identity (exact, small systems only); otherwise ``samples`` Rademacher
+    vectors give an unbiased stochastic estimate.  Counts all 4N Nambu⊗Spin
+    orbitals (particle-hole symmetric around ε = 0).
+    """
+    if scale is None:
+        scale = spectral_bound(data, sk, impl=impl)
+    if eta is not None:
+        kernel = "lorentz"
+        if order is None:
+            order = max(8, int(np.ceil(LORENTZ_LAMBDA * scale / eta)))
+    order = order or DEFAULT_ORDER
+
+    N = sk.n_sites
+    if samples is None:
+        v0 = jnp.eye(N * BLOCK, dtype=data.dtype).reshape(N, BLOCK, N * BLOCK)
+        norm = 1.0
+    else:
+        if key is None:
+            key = jax.random.PRNGKey(1)
+        rdtype = jnp.real(jnp.zeros((), data.dtype)).dtype
+        v0 = jax.random.rademacher(key, (N, BLOCK, samples), dtype=rdtype).astype(data.dtype)
+        norm = 1.0 / samples
+
+    mu = moments(data, sk, v0, order, scale, impl=impl)  # [order, K]
+    mu_tr = jnp.sum(mu, axis=1) * norm  # trace estimate per order
+
+    energies = np.array(energies, dtype=float)
+    x = np.clip(energies / scale, -0.999999, 0.999999)
+    dens = reconstruct_density(mu_tr[:, None], jnp.asarray(x), scale, kernel=kernel)
+    return np.asarray(dens[:, 0])
 
 
 def chebyshev_coefficients(fn, order: int, quad_points: Optional[int] = None) -> np.ndarray:

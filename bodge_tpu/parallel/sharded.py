@@ -164,6 +164,8 @@ def spmm_sharded(rs: RowSharding, data, v):
 def _moments_sharded_jit(rs: RowSharding, data, v0, inv_scale, order: int):
     sk, n = rs.sk, rs.n_shards
 
+    from ..ops.chebyshev import _doubled_moment_scan
+
     def local(data_l, v0_l, inv_l):
         def H(v):
             return _local_stencil_spmm(sk, n, data_l, v) * inv_l
@@ -171,18 +173,7 @@ def _moments_sharded_jit(rs: RowSharding, data, v0, inv_scale, order: int):
         def inner(a, b):
             return lax.psum(jnp.real(jnp.sum(jnp.conj(a) * b, axis=(0, 1))), AXIS)
 
-        t0 = v0_l
-        t1 = H(v0_l)
-        mu0 = inner(v0_l, t0)
-        mu1 = inner(v0_l, t1)
-
-        def step(carry, _):
-            t_prev, t_cur = carry
-            t_next = 2.0 * H(t_cur) - t_prev
-            return (t_cur, t_next), inner(v0_l, t_next)
-
-        (_, _), mu_rest = lax.scan(step, (t0, t1), None, length=order - 2)
-        return jnp.concatenate([mu0[None], mu1[None], mu_rest], axis=0)
+        return _doubled_moment_scan(H, inner, v0_l, order)
 
     # Per-probe-column moments: reduced over rows, still sharded over the
     # probe axis when one exists.

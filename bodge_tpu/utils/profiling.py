@@ -80,6 +80,32 @@ def measure_hbm_bandwidth(nbytes: int = 1 << 28) -> float:
     return 2 * read_bps
 
 
+# Public HBM bandwidth specs (bytes/s) by device kind substring.  Used as
+# the roofline reference: measuring bandwidth through an asynchronous
+# compile/dispatch relay is unreliable (minute-scale control-plane stalls),
+# while the hardware roof is a published constant.
+HBM_SPECS = {
+    "v5 lite": 819e9,  # TPU v5e
+    "v5e": 819e9,
+    "v5p": 2765e9,
+    "v4": 1228e9,
+    "v3": 900e9,
+    "v6": 1640e9,  # Trillium
+}
+
+
+def hbm_roof_for_device(device=None) -> float:
+    """Spec-sheet HBM bandwidth for the given (default: first) device."""
+    import jax
+
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "") or str(device)
+    for key, bw in HBM_SPECS.items():
+        if key in kind.lower():
+            return bw
+    return 819e9  # conservative default: v5e-class
+
+
 @dataclass
 class Roofline:
     """Memory-roofline verdict for one measured kernel."""

@@ -131,3 +131,32 @@ def test_kernels():
     assert np.all(np.diff(g_j) < 0) and g_j[-1] > 0
     assert g_l[0] == pytest.approx(1.0)
     assert np.all(g_l > 0)
+
+
+def test_dos_kpm_exact_trace_matches_dense():
+    """Exact-trace Lorentz-kernel DOS must equal the broadened eigenvalue sum."""
+    lattice, system = swave_system((6, 6, 1), Δ0=0.4, μ=0.5)
+    sk = system.skeleton
+    a = kpm.spectral_bound(system.data, sk)
+    η = 0.3
+    order = max(8, int(np.ceil(4.0 * a / η)))
+    energies = np.linspace(-2.0, 2.0, 15)
+
+    ρ = kpm.dos_kpm(system.data, sk, energies, eta=η, samples=None, scale=a)
+
+    E = np.linalg.eigvalsh(system.matrix("dense"))
+    ρ_ref = (η / np.pi) / ((energies[:, None] - E[None, :]) ** 2 + η**2)
+    ρ_ref = ρ_ref.sum(axis=1)
+    assert np.allclose(ρ, ρ_ref, rtol=0.08, atol=0.05)
+
+
+def test_dos_kpm_stochastic_and_facade():
+    lattice, system = swave_system((8, 8, 1), Δ0=0.5, μ=1.0)
+    energies = np.linspace(-3, 3, 11)
+    ρ = system.dos(energies, order=512, samples=32)
+    assert ρ.shape == (11,)
+    # PH-symmetric and positive on this gapped system's spectrum edges.
+    assert np.all(ρ >= -1e-6)
+    F_kpm = system.free_energy(0.2, method="kpm", order=1024, samples=None)
+    F_dense = system.free_energy(0.2)
+    assert np.isclose(F_kpm, F_dense, rtol=5e-3)
