@@ -1,0 +1,181 @@
+"""Self-consistent order-parameter solvers via automatic differentiation.
+
+[NEW SCOPE] — the reference documents that self-consistent calculations
+must add the condensation energy Σ|Δ_i|²/V to ``free_energy()`` by hand
+and iterate externally (``bodge/hamiltonian.py:264-269``); it provides no
+solver.  Because this framework's free energy is a differentiable JAX
+program (dense eigvalsh or a Chebyshev/KPM trace of SpMM scans), the BCS
+gap equation — the stationarity condition ∂F_total/∂Δ* = 0 — can be solved
+directly by gradient descent on
+
+    F_total(Δ) = F_BdG(H[Δ]) + Σ_i |Δ_i|² / V,
+
+which is the domain analog of a training loop: forward = free energy,
+backward = AD through the spectral solver, update = optax.
+
+The KPM path is preferred for AD at scale: gradients flow through the
+SpMM scan without the eigenvector-degeneracy pathologies of eigh JVPs
+(spin-degenerate BdG spectra are the common case).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..common import jσ2
+from ..ops import blocksparse as bs
+from ..ops.blocksparse import BLOCK, Skeleton
+from ..ops.chebyshev import _KERNELS, chebyshev_coefficients, spectral_bound
+from ..ops.spmm import spmm
+
+
+def data_with_onsite_swave(base_data, delta):
+    """Insert an on-site singlet pairing field Δ_i·jσ2 into ELL block data.
+
+    ``delta: [N]`` complex.  Differentiable in ``delta`` — the building
+    block for self-consistency loops.
+    """
+    blk = delta[:, None, None] * jnp.asarray(jσ2, dtype=base_data.dtype)
+    blkH = jnp.conj(jnp.swapaxes(blk, -1, -2))
+    data = base_data.at[:, 0, 0:2, 2:4].set(blk)
+    data = data.at[:, 0, 2:4, 0:2].set(blkH)
+    return data
+
+
+def _free_energy_dense(data, sk: Skeleton, T: float):
+    H = bs.ell_to_dense_jnp(data, sk)
+    E = jnp.linalg.eigvalsh(H)
+    Ep = E[E.shape[0] // 2 :]
+    U = -0.5 * jnp.sum(Ep)
+    if T == 0:
+        return U
+    return U - T * jnp.sum(jnp.log1p(jnp.exp(-Ep / T)))
+
+
+def _free_energy_kpm(data, sk: Skeleton, T: float, probes, coeffs, inv_scale, impl):
+    def H(v):
+        return spmm(data, sk, v, impl=impl) * inv_scale
+
+    def inner(a, b):
+        return jnp.real(jnp.sum(jnp.conj(a) * b))
+
+    t0 = probes
+    t1 = H(probes)
+    acc = coeffs[0] * inner(probes, t0) + coeffs[1] * inner(probes, t1)
+
+    def step(carry, c_m):
+        t_prev, t_cur, acc = carry
+        t_next = 2.0 * H(t_cur) - t_prev
+        return (t_cur, t_next, acc + c_m * inner(probes, t_next)), None
+
+    (_, _, acc), _ = jax.lax.scan(step, (t0, t1, acc), coeffs[2:])
+    return 0.5 * acc / probes.shape[-1] * (sk.n_sites * BLOCK)
+
+
+def make_total_free_energy(
+    system,
+    V: float,
+    temperature: float = 0.0,
+    method: str = "dense",
+    order: int = 256,
+    samples: int = 32,
+    key=None,
+    impl: str = "stencil",
+) -> Callable:
+    """Return a differentiable ``F_total(Δ)`` for an on-site s-wave field.
+
+    ``system`` supplies the normal-state Hamiltonian (its current pairing
+    blocks at slot 0 are overwritten by Δ).  ``V > 0`` is the attractive
+    interaction strength in F_total = F_BdG + Σ|Δ_i|²/V.
+    """
+    sk = system.skeleton
+    base = jnp.asarray(system.data)
+    T = float(temperature)
+
+    if method == "dense":
+
+        def F_total(delta):
+            data = data_with_onsite_swave(base, delta)
+            return _free_energy_dense(data, sk, T) + jnp.sum(jnp.abs(delta) ** 2) / V
+
+        return jax.jit(F_total)
+
+    if method == "kpm":
+        # Spectral bound from a generous Δ headroom so the scale stays valid
+        # across the optimization trajectory.
+        probe_delta = jnp.full((sk.n_sites,), 2.0, dtype=base.dtype)
+        scale = spectral_bound(data_with_onsite_swave(base, probe_delta), sk, impl=impl)
+
+        if T == 0:
+            g = lambda E: -np.abs(E) / 2
+        else:
+            g = lambda E: -np.abs(E) / 2 - T * np.log1p(np.exp(-np.abs(E) / T))
+        coeffs = chebyshev_coefficients(lambda x: g(scale * x), order)
+        coeffs = jnp.asarray(coeffs * _KERNELS["jackson"](order))
+        rdtype = jnp.real(jnp.zeros((), base.dtype)).dtype
+        inv = jnp.asarray(1.0 / scale, dtype=rdtype)
+
+        if key is None:
+            key = jax.random.PRNGKey(11)
+        # Normalized Hutchinson probes: E[z z†] = I with ⟨z,z⟩ = 4N per column.
+        z = jax.random.rademacher(key, (sk.n_sites, BLOCK, samples), dtype=rdtype)
+        z = z.astype(base.dtype) / jnp.sqrt(jnp.asarray(sk.n_sites * BLOCK, rdtype))
+
+        def F_total(delta):
+            data = data_with_onsite_swave(base, delta)
+            F = _free_energy_kpm(data, sk, T, z, coeffs, inv, impl)
+            return F + jnp.sum(jnp.abs(delta) ** 2) / V
+
+        return jax.jit(F_total)
+
+    raise ValueError(f"Unknown method '{method}'")
+
+
+def solve_gap(
+    system,
+    V: float,
+    temperature: float = 0.0,
+    delta0: float | np.ndarray = 0.2,
+    steps: int = 300,
+    learning_rate: float = 0.05,
+    method: str = "dense",
+    uniform: bool = False,
+    **kwargs,
+) -> Tuple[np.ndarray, float]:
+    """Minimize F_total over the on-site s-wave field Δ_i by gradient descent.
+
+    Returns ``(Δ, F_total(Δ))``.  With ``uniform=True`` a single scalar gap
+    is optimized (broadcast over sites) — the homogeneous BCS problem.
+    """
+    F_total = make_total_free_energy(system, V, temperature, method=method, **kwargs)
+    N = system.skeleton.n_sites
+    cdtype = system.data.dtype
+    rdtype = jnp.real(jnp.zeros((), cdtype)).dtype
+
+    # Optimize a REAL gap field (the global U(1) phase is a gauge choice;
+    # complex / phase-textured problems should drive F_total directly).
+    if uniform:
+        x0 = jnp.asarray(np.real(np.atleast_1d(delta0))[:1], dtype=rdtype)
+        expand = lambda x: jnp.broadcast_to(x, (N,)).astype(cdtype)
+    else:
+        x0 = jnp.asarray(np.broadcast_to(np.real(delta0), (N,)), dtype=rdtype)
+        expand = lambda x: x.astype(cdtype)
+
+    loss = lambda x: F_total(expand(x))
+    grad = jax.jit(jax.grad(loss))
+
+    # Plain momentum descent keeps dependencies light; for custom loops
+    # (optax, complex fields) use make_total_free_energy directly.
+    x = x0
+    m = jnp.zeros_like(x0)
+    for _ in range(steps):
+        m = 0.9 * m + grad(x)
+        x = x - learning_rate * m
+
+    return np.asarray(expand(x)), float(loss(x))

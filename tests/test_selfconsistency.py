@@ -1,0 +1,80 @@
+"""Self-consistency solver tests: AD-driven gap equation vs direct scans."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bodge_tpu import CubicLattice, Hamiltonian, σ0
+from bodge_tpu.models import selfconsistency as sc
+
+
+def normal_metal(shape, mu=0.0, t=1.0):
+    lattice = CubicLattice(shape)
+    system = Hamiltonian(lattice)
+    system.assemble(
+        onsite=lambda ci: -mu * σ0,
+        hopping=lambda ci, cj: np.where(
+            (np.abs(ci - cj).max(axis=1) == 1)[:, None, None], -t * σ0, 0
+        ),
+    )
+    return lattice, system
+
+
+def test_total_free_energy_scalar_scan_has_minimum():
+    """F_total(Δ) must be minimized at Δ > 0 for strong attraction."""
+    lattice, system = normal_metal((24, 1, 1))
+    F = sc.make_total_free_energy(system, V=2.5, temperature=0.0)
+    deltas = np.linspace(0.0, 1.2, 25)
+    Fs = [float(F(jnp.full((lattice.size,), d, system.data.dtype))) for d in deltas]
+    k = int(np.argmin(Fs))
+    assert 0 < k < len(deltas) - 1  # interior minimum → superconducting
+
+
+def test_gradient_matches_finite_difference():
+    lattice, system = normal_metal((12, 1, 1))
+    F = sc.make_total_free_energy(system, V=2.0, temperature=0.1)
+    x = jnp.full((lattice.size,), 0.3, system.data.dtype)
+    g = jax.grad(lambda d: F(d.astype(system.data.dtype)))(jnp.real(x))
+    eps = 1e-6
+    e0 = jnp.zeros(lattice.size).at[5].set(1.0)
+    fd = (float(F(x + eps * e0)) - float(F(x - eps * e0))) / (2 * eps)
+    assert np.isclose(float(g[5]), fd, rtol=1e-4, atol=1e-6)
+
+
+def test_solve_gap_uniform_matches_scan_minimum():
+    lattice, system = normal_metal((24, 1, 1))
+    V, T = 2.5, 0.0
+    Δ, F_opt = sc.solve_gap(system, V=V, temperature=T, uniform=True,
+                            delta0=0.3, steps=200, learning_rate=0.02)
+    Δ_opt = float(np.real(Δ[0]))
+
+    # Reference: golden-section-ish fine scan of the same scalar objective.
+    F = sc.make_total_free_energy(system, V=V, temperature=T)
+    ds = np.linspace(max(0.0, Δ_opt - 0.3), Δ_opt + 0.3, 61)
+    Fs = [float(F(jnp.full((lattice.size,), d, system.data.dtype))) for d in ds]
+    Δ_scan = ds[int(np.argmin(Fs))]
+
+    assert Δ_opt > 0.05  # superconducting solution found
+    assert abs(Δ_opt - Δ_scan) < 0.02
+    assert F_opt <= min(Fs) + 1e-6 + 0.01 * abs(min(Fs))
+
+
+def test_solve_gap_vanishes_for_weak_coupling():
+    lattice, system = normal_metal((16, 1, 1), mu=0.9)
+    Δ, _ = sc.solve_gap(system, V=0.2, temperature=0.0, uniform=True,
+                        delta0=0.2, steps=200, learning_rate=0.02)
+    assert abs(np.real(Δ[0])) < 0.02  # normal state wins
+
+
+def test_kpm_objective_tracks_dense():
+    lattice, system = normal_metal((16, 1, 1))
+    V, T = 2.0, 0.2
+    F_dense = sc.make_total_free_energy(system, V=V, temperature=T, method="dense")
+    F_kpm = sc.make_total_free_energy(
+        system, V=V, temperature=T, method="kpm", order=512, samples=512
+    )
+    for d in (0.1, 0.4, 0.8):
+        x = jnp.full((lattice.size,), d, system.data.dtype)
+        assert np.isclose(float(F_kpm(x)), float(F_dense(x)), rtol=0.05)
