@@ -307,23 +307,14 @@ def chebyshev_coefficients(fn, order: int, quad_points: Optional[int] = None) ->
 
 @partial(jax.jit, static_argnames=("sk", "order", "impl"))
 def _trace_fn_scan(data, sk: Skeleton, probes, coeffs, inv_scale, order: int, impl: str):
-    """Σ_m c_m ⟨z_k|T_m(H̃)|z_k⟩ accumulated over the scan, summed over k."""
+    """Σ_m c_m ⟨z_k|T_m(H̃)|z_k⟩ summed over k (doubled-moment scan)."""
     H = _rescaled_op(data, sk, inv_scale, impl)
 
     def inner(a, b):
         return jnp.real(jnp.sum(jnp.conj(a) * b))
 
-    t0 = probes
-    t1 = H(probes)
-    acc = coeffs[0] * inner(probes, t0) + coeffs[1] * inner(probes, t1)
-
-    def step(carry, c_m):
-        t_prev, t_cur, acc = carry
-        t_next = 2.0 * H(t_cur) - t_prev
-        return (t_cur, t_next, acc + c_m * inner(probes, t_next)), None
-
-    (_, _, acc), _ = lax.scan(step, (t0, t1, acc), coeffs[2:])
-    return acc
+    mu = _doubled_moment_scan(H, inner, probes, order)  # [order]
+    return jnp.dot(coeffs[: mu.shape[0]], mu)
 
 
 def trace_function(

@@ -51,9 +51,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def supported(sk: Skeleton) -> bool:
-    """Whether the Pallas kernel covers this skeleton (2D stencil for now)."""
+    """Whether the Pallas kernel covers this skeleton.
+
+    Requires the cubic stencil structure, ≥2 x-planes (the grid axis) and a
+    non-trivial in-plane extent (1D chains fall back to the XLA stencil —
+    a 1-lane plane would waste 127/128 of the VPU).
+    """
     Lx, Ly, Lz = sk.shape
-    return sk.stencil and Lz == 1 and Ly > 1 and Lx > 1
+    return sk.stencil and Lx > 1 and Ly * Lz > 1
 
 
 @dataclass(frozen=True, eq=False)
@@ -116,23 +121,31 @@ def _stencil_kernel(sk: Skeleton, K: int, P: int, b_ref, vm_ref, vc_ref, vp_ref,
     vm = vm_ref[0].reshape(2, BLOCK, K, P)
     vp = vp_ref[0].reshape(2, BLOCK, K, P)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, P), 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
 
     def roll_lanes(x, shift):
         # pltpu.roll requires non-negative shifts; −s ≡ P−s over the padded
         # circular axis.
         return pltpu.roll(x, shift % P, 1)
 
-    def shifted_plane(v, d):
-        """In-plane neighbor values along y with exact periodic wrap."""
+    def shifted_plane(v, axis, d):
+        """In-plane neighbor values with exact periodic wrap.
+
+        The plane is flattened as p = y·Lz + z: a y-shift is a lane roll by
+        ±Lz and a z-shift a roll by ±1, each exact away from its own
+        boundary; boundary lanes take a wrap roll instead (select), which
+        keeps periodic links exact even under zero padding.
+        """
         flat = v.reshape(2 * BLOCK * K, P)
-        main = roll_lanes(flat, -d)  # want v[y+d] at position y
-        wrap = roll_lanes(flat, (n_real - d) % n_real if d > 0 else -(n_real + d))
-        if d > 0:
-            boundary = col >= n_real - d
-        else:
-            boundary = col < -d
-        out = jnp.where(boundary.reshape(1, P), wrap, main)
+        if axis == 1:  # y: stride-Lz roll
+            main = roll_lanes(flat, -d * Lz)
+            wrap = roll_lanes(flat, d * (Ly - 1) * Lz)
+            boundary = (col >= (Ly - 1) * Lz) if d > 0 else (col < Lz)
+        else:  # z: unit roll within each y-cell
+            main = roll_lanes(flat, -d)
+            wrap = roll_lanes(flat, d * (Lz - 1))
+            boundary = (col % Lz == Lz - 1) if d > 0 else (col % Lz == 0)
+        out = jnp.where(boundary, wrap, main)
         return out.reshape(2, BLOCK, K, P)
 
     acc_re = jnp.zeros((BLOCK, K, P), dtype=jnp.float32)
@@ -143,8 +156,8 @@ def _stencil_kernel(sk: Skeleton, K: int, P: int, b_ref, vm_ref, vc_ref, vp_ref,
             src = vc
         elif axis == 0:
             src = vp if d > 0 else vm
-        else:  # axis == 1 (y): in-plane lane shift
-            src = shifted_plane(vc, d)
+        else:  # axis 1 or 2: in-plane lane shift
+            src = shifted_plane(vc, axis, d)
 
         br, bi = b[0, s], b[1, s]  # [4, 4, P]
         sr, si = src[0], src[1]  # [4, K, P]

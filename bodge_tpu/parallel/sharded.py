@@ -198,6 +198,8 @@ def moments_sharded(rs: RowSharding, data, v0, order: int, scale: float):
 def _trace_sharded_jit(rs: RowSharding, data, probes, coeffs, inv_scale, order: int):
     sk, n = rs.sk, rs.n_shards
 
+    from ..ops.chebyshev import _doubled_moment_scan
+
     def local(data_l, z_l, coeffs_l, inv_l):
         def H(v):
             return _local_stencil_spmm(sk, n, data_l, v) * inv_l
@@ -205,17 +207,8 @@ def _trace_sharded_jit(rs: RowSharding, data, probes, coeffs, inv_scale, order: 
         def inner(a, b):
             return lax.psum(jnp.real(jnp.sum(jnp.conj(a) * b)), rs.reduce_axes)
 
-        t0 = z_l
-        t1 = H(z_l)
-        acc = coeffs_l[0] * inner(z_l, t0) + coeffs_l[1] * inner(z_l, t1)
-
-        def step(carry, c_m):
-            t_prev, t_cur, acc = carry
-            t_next = 2.0 * H(t_cur) - t_prev
-            return (t_cur, t_next, acc + c_m * inner(z_l, t_next)), None
-
-        (_, _, acc), _ = lax.scan(step, (t0, t1, acc), coeffs_l[2:])
-        return acc
+        mu = _doubled_moment_scan(H, inner, z_l, order)
+        return jnp.dot(coeffs_l[: mu.shape[0]], mu)
 
     fn = jax.shard_map(
         local,

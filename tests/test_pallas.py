@@ -37,7 +37,18 @@ def random_system(shape, pbc, seed=0):
     return lattice, system
 
 
-@pytest.mark.parametrize("shape,pbc", [((6, 5, 1), False), ((6, 5, 1), True), ((4, 7, 1), True)])
+@pytest.mark.parametrize(
+    "shape,pbc",
+    [
+        ((6, 5, 1), False),
+        ((6, 5, 1), True),
+        ((4, 7, 1), True),
+        ((4, 4, 3), False),
+        ((4, 4, 3), True),
+        ((3, 1, 5), True),
+        ((5, 6, 4), True),
+    ],
+)
 def test_pallas_matches_stencil(shape, pbc):
     lattice, system = random_system(shape, pbc)
     sk = system.skeleton
@@ -78,7 +89,7 @@ def test_pack_roundtrip():
 
 
 def test_pallas_unsupported_fallback():
-    lattice = CubicLattice((4, 4, 2))  # 3D: not yet kernel-covered
+    lattice = CubicLattice((6, 1, 1))  # 1D chain: 1-lane plane, XLA fallback
     system = Hamiltonian(lattice)
     system.assemble(onsite=lambda ci: 2.0 * σ0)
     sk = system.skeleton
