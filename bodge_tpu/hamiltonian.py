@@ -111,6 +111,12 @@ class Hamiltonian:
         N, S = self._sk.cols.shape
         self._data = jnp.zeros((N, S, BLOCK, BLOCK), dtype=self.dtype)
 
+        # Monotonic version for spectral-artifact caching: bumped on every
+        # write path so solvers can reuse one eigendecomposition across
+        # repeated observable queries on an unchanged Hamiltonian.
+        self._version = 0
+        self._eigh_cache = None
+
     # ------------------------------------------------------------------
     # Introspection
     # ------------------------------------------------------------------
@@ -149,6 +155,7 @@ class Hamiltonian:
         data = self._data
         data = self._scatter_terms(data, self._hopp, self._pair)
         self._data = data
+        self._version += 1
         del self._hopp, self._pair
 
         err = float(bs.hermiticity_error(self._data, self._sk))
@@ -283,6 +290,7 @@ class Hamiltonian:
             jnp.asarray(pair_v),
             jnp.asarray(pair_rev_v),
         )
+        self._version += 1
 
         if check:
             err = float(bs.hermiticity_error(self._data, self._sk))
@@ -330,6 +338,15 @@ class Hamiltonian:
     # ------------------------------------------------------------------
     # Solvers
     # ------------------------------------------------------------------
+    def _full_spectrum(self):
+        """Full (E, X) eigendecomposition, cached per Hamiltonian version."""
+        if self._eigh_cache is not None and self._eigh_cache[0] == self._version:
+            return self._eigh_cache[1], self._eigh_cache[2]
+        Hd = self.matrix(format="dense_jnp")
+        E, X = dense_ops._eigh(Hd)
+        self._eigh_cache = (self._version, E, X)
+        return E, X
+
     def diagonalize(self, cuda: bool = False, format: str = "reshape"):
         """Positive eigenvalues and eigenvectors of the dense Hamiltonian.
 
@@ -342,10 +359,10 @@ class Hamiltonian:
             raise RuntimeError(
                 "The `cuda` flag is not applicable: this build runs on TPU/CPU via JAX."
             )
-        Hd = self.matrix(format="dense_jnp")
-        E, X = dense_ops.eigh_positive(Hd)
-        eigval = np.asarray(E)
-        eigvec = np.asarray(X)
+        E, X = self._full_spectrum()
+        half = E.shape[0] // 2
+        eigval = np.asarray(E[half:])
+        eigvec = np.asarray(X[:, half:])
         if format == "raw":
             return eigval, eigvec
         if format == "reshape":
@@ -354,8 +371,10 @@ class Hamiltonian:
 
     def eigenvalues(self):
         """Positive eigenvalues only (no eigenvectors)."""
-        Hd = self.matrix(format="dense_jnp")
-        E = jnp.linalg.eigvalsh(Hd)
+        if self._eigh_cache is not None and self._eigh_cache[0] == self._version:
+            E = self._eigh_cache[1]
+        else:
+            E = jnp.linalg.eigvalsh(self.matrix(format="dense_jnp"))
         return np.asarray(E[E.shape[0] // 2 :])
 
     def free_energy(
@@ -420,8 +439,8 @@ class Hamiltonian:
         """
         i = self.lattice[site]
         if method == "exact":
-            Hd = self.matrix(format="dense_jnp")
-            return dense_ops.ldos_exact(Hd, i, energies)
+            E, X = self._full_spectrum()
+            return dense_ops.ldos_from_spectrum(E, X, i, energies)
         if method == "kpm":
             from .ops import chebyshev
 

@@ -84,8 +84,8 @@ def _resolvent_ldos(E, w_e, w_h, energies, gammas):
     return ρ_plus, ρ_minus
 
 
-def ldos_exact(H_dense, site_index: int, energies) -> np.ndarray:
-    """Local density of states at one site, exact to numerical precision.
+def ldos_from_spectrum(E, X, site_index: int, energies) -> np.ndarray:
+    """LDOS at one site from a precomputed full eigendecomposition.
 
     Mirrors the reference's observable and broadening convention: probe
     energies are deduplicated by |ε| and the broadening is the grid spacing
@@ -95,7 +95,6 @@ def ldos_exact(H_dense, site_index: int, energies) -> np.ndarray:
     ε = np.unique(np.abs(energies))
     Γ = np.gradient(ε)
 
-    E, X = _eigh(H_dense)
     i0 = BLOCK * site_index
     amp2 = jnp.abs(X[i0 : i0 + 4, :]) ** 2  # [4, 4N]
     w_e = amp2[0] + amp2[1]
@@ -110,3 +109,9 @@ def ldos_exact(H_dense, site_index: int, energies) -> np.ndarray:
         table[+ε_k] = ρ_plus[k]
         table[-ε_k] = ρ_minus[k]
     return np.array([table[ε_k] for ε_k in energies])
+
+
+def ldos_exact(H_dense, site_index: int, energies) -> np.ndarray:
+    """Local density of states at one site, exact to numerical precision."""
+    E, X = _eigh(H_dense)
+    return ldos_from_spectrum(E, X, site_index, energies)
