@@ -153,8 +153,9 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, hbm_bw=None, impl="stencil"):
 
 
 def bench_assembly(L=1024, W=1024):
-    """Vectorized assembly wall-clock; reference: 133.9 s at 1M sites
-    through its Python-dict loop (misc/benchmark.csv:40)."""
+    """Vectorized assembly wall-clock (host NumPy path — the apples-to-
+    apples comparison: the reference also assembles on the host CPU, in
+    133.9 s at 1M sites through its Python-dict loop, benchmark.csv:40)."""
     t_mu, M0, Δ0, χ, t_hop = 1.0, 1.5, 0.1, 0.5, 1.0
     lattice = CubicLattice((L, W, 1))
 
@@ -175,8 +176,11 @@ def bench_assembly(L=1024, W=1024):
             along_y = (ci[:, 1] != cj[:, 1])[:, None, None]
             return np.where(bond, np.where(along_y, -2 * t_hop * σ0, -t_hop * σ0), 0)
 
-        system.assemble(onsite=onsite, pairing_onsite=pair_onsite, hopping=hopping, check=False)
-        float(jnp.real(system.data[0, 0, 0, 0]))  # force full materialization
+        system.assemble(
+            onsite=onsite, pairing_onsite=pair_onsite, hopping=hopping,
+            check=False, device=False,
+        )
+        assert system.data[0, 0, 0, 0] is not None
         return system
 
     t_build = best_time(lambda: run(), repeats=3, warmup=1)

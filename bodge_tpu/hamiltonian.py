@@ -152,7 +152,7 @@ class Hamiltonian:
             del self._hopp, self._pair
             return False
 
-        data = self._data
+        data = jnp.asarray(self._data)  # host-assembled data uploads lazily
         data = self._scatter_terms(data, self._hopp, self._pair)
         self._data = data
         self._version += 1
@@ -211,6 +211,7 @@ class Hamiltonian:
         pairing: Optional[Callable] = None,
         reset: bool = False,
         check: bool = True,
+        device: bool = True,
     ) -> "Hamiltonian":
         """Populate the Hamiltonian from batched per-term callables.
 
@@ -225,6 +226,11 @@ class Hamiltonian:
         Returning ``None`` from a callable (or passing ``None``) leaves the
         corresponding terms untouched.  With ``reset=True`` all stored terms
         are zeroed first.  Symmetry autofill matches the ``with`` DSL.
+
+        ``device=False`` performs the symmetry writes in host NumPy and
+        uploads the result in one transfer — useful when device compiles
+        are expensive (remote-compile backends) or for pure-CPU assembly
+        benchmarking.
         """
         sk = self._sk
         if isinstance(self.lattice, CubicLattice):
@@ -274,22 +280,50 @@ class Hamiltonian:
                 pair_v = np.stack(pair_s)
                 pair_rev_v = np.stack(pair_rev_s)
 
-        kernel = _assemble_kernel(
-            sk,
-            onsite_v.size > 0,
-            pair_onsite_v.size > 0,
-            hop_v.size > 0,
-            pair_v.size > 0,
-            reset,
-        )
-        self._data = kernel(
-            self._data,
-            jnp.asarray(onsite_v),
-            jnp.asarray(pair_onsite_v),
-            jnp.asarray(hop_v),
-            jnp.asarray(pair_v),
-            jnp.asarray(pair_rev_v),
-        )
+        if device:
+            kernel = _assemble_kernel(
+                sk,
+                onsite_v.size > 0,
+                pair_onsite_v.size > 0,
+                hop_v.size > 0,
+                pair_v.size > 0,
+                reset,
+            )
+            self._data = kernel(
+                self._data,
+                jnp.asarray(onsite_v),
+                jnp.asarray(pair_onsite_v),
+                jnp.asarray(hop_v),
+                jnp.asarray(pair_v),
+                jnp.asarray(pair_rev_v),
+            )
+        else:
+            d = (
+                np.zeros_like(np.asarray(self._data))
+                if reset
+                else np.array(self._data, copy=True)
+            )
+            if onsite_v.size:
+                d[:, 0, 0:2, 0:2] = onsite_v
+                d[:, 0, 2:4, 2:4] = -np.conj(onsite_v)
+            if pair_onsite_v.size:
+                d[:, 0, 0:2, 2:4] = pair_onsite_v
+                d[:, 0, 2:4, 0:2] = np.conj(np.swapaxes(pair_onsite_v, -1, -2))
+            for s in range(1, sk.n_slots):
+                mask = (sk.cols[:, s] >= 0)[:, None, None]
+                k = s - 1
+                if hop_v.size:
+                    d[:, s, 0:2, 0:2] = np.where(mask, hop_v[k], d[:, s, 0:2, 0:2])
+                    d[:, s, 2:4, 2:4] = np.where(
+                        mask, -np.conj(hop_v[k]), d[:, s, 2:4, 2:4]
+                    )
+                if pair_v.size:
+                    d[:, s, 0:2, 2:4] = np.where(mask, pair_v[k], d[:, s, 0:2, 2:4])
+                    vH = np.conj(np.swapaxes(pair_rev_v[k], -1, -2))
+                    d[:, s, 2:4, 0:2] = np.where(mask, vH, d[:, s, 2:4, 0:2])
+            # Stays host-resident until the next device-side consumer; every
+            # read path accepts NumPy arrays transparently.
+            self._data = d
         self._version += 1
 
         if check:
