@@ -28,6 +28,16 @@ from functools import partial
 import numpy as np
 
 import jax
+
+# Persistent compilation cache: the remote compile service behind the TPU
+# tunnel has long unavailability windows, but cached executables persist
+# across processes and execution is local — so repeated bench runs warm the
+# cache until a run completes entirely from cache.
+_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/bodge_tpu_jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 import jax.numpy as jnp
 
 from bodge_tpu import CubicLattice, Hamiltonian, jσ2, σ0, σ3
@@ -211,6 +221,44 @@ def bench_kpm_ldos(L=200, order=512):
             "ldos_min": float(np.min(ρ)), "ldos_max": float(np.max(ρ))}
 
 
+def bench_consistency(L=12, order=48):
+    """Numerical drift of the accelerator KPM path vs a host float64 oracle.
+
+    The analog of the reference's GPU-vs-CPU consistency test
+    (tests/test_hamiltonian.py:389-425): same small system, moments
+    computed on the accelerator in its native precision vs a NumPy
+    complex128 dense Chebyshev recursion.
+    """
+    lattice, system = build_swave(L)
+    sk = system.skeleton
+    N = lattice.size
+    a = float(kpm.spectral_bound(system.data, sk))
+
+    site = N // 2
+    v0 = jnp.zeros((N, BLOCK, BLOCK), dtype=system.dtype)
+    v0 = v0.at[site, jnp.arange(BLOCK), jnp.arange(BLOCK)].set(1.0)
+    mu_dev = np.asarray(kpm.moments(system.data, sk, v0, order, a))
+
+    # Host float64 oracle: dense recursion over the same operator.
+    from bodge_tpu.ops.blocksparse import ell_to_dense
+
+    H = ell_to_dense(np.asarray(system.data).astype(np.complex128), sk) / a
+    V0 = np.zeros((4 * N, 4), dtype=np.complex128)
+    V0[4 * site : 4 * site + 4] = np.eye(4)
+    t_prev, t_cur = V0.copy(), H @ V0
+    mu_ref = [np.real(np.sum(np.conj(V0) * t_prev, axis=0)),
+              np.real(np.sum(np.conj(V0) * t_cur, axis=0))]
+    for _ in range(order - 2):
+        t_prev, t_cur = t_cur, 2 * (H @ t_cur) - t_prev
+        mu_ref.append(np.real(np.sum(np.conj(V0) * t_cur, axis=0)))
+    mu_ref = np.array(mu_ref)
+
+    drift = float(np.max(np.abs(mu_dev - mu_ref)))
+    log(f"[consistency] max |μ_dev − μ_host64| = {drift:.2e} over {order} orders")
+    return {"order": order, "lattice": [L, L, 1], "max_moment_drift": drift,
+            "dtype": str(np.dtype(system.dtype))}
+
+
 def with_retries(label, fn, attempts=3):
     """The remote-compile tunnel intermittently returns UNIMPLEMENTED /
     INTERNAL errors; retry transient failures before giving up."""
@@ -257,6 +305,7 @@ def main():
 
     results["assembly"] = with_retries("assembly", bench_assembly)
     results["kpm_ldos"] = with_retries("ldos", bench_kpm_ldos)
+    results["consistency"] = with_retries("consistency", bench_consistency)
 
     with open("bench_results.json", "w") as f:
         json.dump(results, f, indent=2)
