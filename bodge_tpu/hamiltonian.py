@@ -482,3 +482,22 @@ class Hamiltonian:
                 self._data, self._sk, i, energies, order=order, kernel=kernel
             )
         raise RuntimeError(f"LDOS method '{method}' is not supported")
+
+    def ldos_map(self, sites, energies, method: str = "exact", **kwargs) -> np.ndarray:
+        """LDOS at many sites at once → ``[n_sites, n_energies]``.
+
+        The dense path reuses one cached eigendecomposition for all sites;
+        the KPM path batches all probe orbitals into a single moment scan
+        (4·n_sites probe columns per SpMM).
+        """
+        site_idx = [self.lattice[tuple(s)] if not np.isscalar(s) else int(s) for s in sites]
+        if method == "exact":
+            E, X = self._full_spectrum()
+            return np.stack(
+                [dense_ops.ldos_from_spectrum(E, X, i, energies) for i in site_idx]
+            )
+        if method == "kpm":
+            from .ops import chebyshev
+
+            return chebyshev.ldos_kpm_sites(self._data, self._sk, site_idx, energies, **kwargs)
+        raise RuntimeError(f"LDOS method '{method}' is not supported")

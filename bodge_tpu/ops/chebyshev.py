@@ -246,6 +246,48 @@ def ldos_kpm(
     return ρ_e
 
 
+def ldos_kpm_sites(
+    data,
+    sk: Skeleton,
+    site_indices,
+    energies,
+    order: Optional[int] = None,
+    kernel: str = "jackson",
+    scale: Optional[float] = None,
+    eta: Optional[float] = None,
+    impl: str = "stencil",
+) -> np.ndarray:
+    """Batched KPM LDOS for many sites in one moment sweep.
+
+    All 4·n_sites orbital probes ride a single Chebyshev scan as extra SpMM
+    columns, so an LDOS *map* costs barely more than one site.
+    Returns ``[n_sites, n_energies]`` (electron component, as in
+    :func:`ldos_kpm`).
+    """
+    if scale is None:
+        scale = spectral_bound(data, sk, impl=impl)
+    if eta is not None:
+        kernel = "lorentz"
+        if order is None:
+            order = max(8, int(np.ceil(LORENTZ_LAMBDA * scale / eta)))
+    order = order or DEFAULT_ORDER
+
+    site_indices = np.asarray(site_indices, dtype=np.int64)
+    n_sites = len(site_indices)
+    N = sk.n_sites
+    K = BLOCK * n_sites
+    v0 = jnp.zeros((N, BLOCK, K), dtype=data.dtype)
+    cols = np.arange(K)
+    v0 = v0.at[np.repeat(site_indices, BLOCK), np.tile(np.arange(BLOCK), n_sites), cols].set(1.0)
+
+    mu = moments(data, sk, v0, order, scale, impl=impl)  # [order, 4·n_sites]
+    energies = np.array(energies, dtype=float)
+    x = np.clip(energies / scale, -0.999999, 0.999999)
+    dens = np.asarray(reconstruct_density(mu, jnp.asarray(x), scale, kernel=kernel))
+    dens = dens.reshape(len(energies), n_sites, BLOCK)
+    return (dens[..., 0] + dens[..., 1]).T  # electron ↑+↓ per site
+
+
 def dos_kpm(
     data,
     sk: Skeleton,

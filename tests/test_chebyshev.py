@@ -160,3 +160,23 @@ def test_dos_kpm_stochastic_and_facade():
     F_kpm = system.free_energy(0.2, method="kpm", order=1024, samples=None)
     F_dense = system.free_energy(0.2)
     assert np.isclose(F_kpm, F_dense, rtol=5e-3)
+
+
+def test_ldos_map_batched_matches_single():
+    lattice, system = swave_system((10, 10, 1), Δ0=0.4, μ=0.6)
+    sites = [(2, 2, 0), (5, 5, 0), (9, 0, 0)]
+    energies = np.linspace(-1.5, 1.5, 9)
+    a = kpm.spectral_bound(system.data, system.skeleton)
+
+    batched = system.ldos_map(sites, energies, method="kpm", order=256, scale=a)
+    assert batched.shape == (3, 9)
+    for r, s in zip(batched, sites):
+        single = kpm.ldos_kpm(
+            system.data, system.skeleton, lattice[s], energies, order=256, scale=a
+        )
+        assert np.allclose(r, single, atol=1e-8)
+
+    # Dense map agrees with per-site exact LDOS.
+    dense_map = system.ldos_map(sites, energies)
+    for r, s in zip(dense_map, sites):
+        assert np.allclose(r, system.ldos(s, energies))
