@@ -109,7 +109,9 @@ class Hamiltonian:
             self._sk = bs.skeleton_from_lattice(lattice)
 
         N, S = self._sk.cols.shape
-        self._data = jnp.zeros((N, S, BLOCK, BLOCK), dtype=self.dtype)
+        # Born host-resident; uploaded lazily by the first device consumer
+        # (keeps construction free of device compiles/allocations).
+        self._data = np.zeros((N, S, BLOCK, BLOCK), dtype=self.dtype)
 
         # Monotonic version for spectral-artifact caching: bumped on every
         # write path so solvers can reuse one eigendecomposition across
