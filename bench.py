@@ -259,18 +259,28 @@ def bench_consistency(L=12, order=48):
             "dtype": str(np.dtype(system.dtype))}
 
 
-def with_retries(label, fn, attempts=3):
+def with_retries(label, fn, attempts=6):
     """The remote-compile tunnel intermittently returns UNIMPLEMENTED /
-    INTERNAL errors; retry transient failures before giving up."""
+    INTERNAL errors (both at compile time and at transfer time, and for
+    minutes at a stretch); retry transient failures with backoff before
+    giving up.  NOTE: failures are far more likely when another process
+    shares the tunnel — run the bench exclusively."""
     for i in range(attempts):
         try:
             return fn()
         except Exception as e:
             msg = str(e)
-            transient = "UNIMPLEMENTED" in msg or "INTERNAL" in msg or "HTTP 5" in msg
+            transient = (
+                "UNIMPLEMENTED" in msg
+                or "INTERNAL" in msg
+                or "UNAVAILABLE" in msg
+                or "DEADLINE" in msg
+                or "HTTP 5" in msg
+            )
             if i + 1 < attempts and transient:
-                log(f"[bench] {label} transient failure ({msg[:80]}); retrying...")
-                time.sleep(15)
+                delay = min(20 * (i + 1), 90)
+                log(f"[bench] {label} transient failure ({msg[:80]}); retrying in {delay}s...")
+                time.sleep(delay)
                 continue
             log(f"[bench] {label} FAILED: {type(e).__name__}: {msg[:200]}")
             return None
