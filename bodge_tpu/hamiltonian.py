@@ -160,7 +160,7 @@ class Hamiltonian:
         self._version += 1
         del self._hopp, self._pair
 
-        err = float(bs.hermiticity_error(self._data, self._sk))
+        err = float(self._hermiticity_error())
         if err > HERMITICITY_TOL:
             raise RuntimeError("The constructed Hamiltonian is not Hermitian!")
         return False
@@ -305,6 +305,32 @@ class Hamiltonian:
                 if reset
                 else np.array(self._data, copy=True)
             )
+            from . import native
+
+            if native.available():
+                # Fused single-pass C++ scatter (OpenMP) over the whole ELL
+                # array — the native-runtime fast path.
+                native.assemble_scatter(
+                    d,
+                    sk.cols,
+                    onsite=np.ascontiguousarray(onsite_v) if onsite_v.size else None,
+                    pair_onsite=(
+                        np.ascontiguousarray(pair_onsite_v) if pair_onsite_v.size else None
+                    ),
+                    hop=np.ascontiguousarray(hop_v) if hop_v.size else None,
+                    pair=np.ascontiguousarray(pair_v) if pair_v.size else None,
+                    pair_rev=np.ascontiguousarray(pair_rev_v) if pair_v.size else None,
+                    reset=False,  # `d` already holds the reset/previous state
+                )
+                self._data = d
+                self._version += 1
+                if check:
+                    err = native.herm_error(d, sk.cols, sk.trans_slot)
+                    if err > HERMITICITY_TOL:
+                        raise RuntimeError(
+                            "The constructed Hamiltonian is not Hermitian!"
+                        )
+                return self
             if onsite_v.size:
                 d[:, 0, 0:2, 0:2] = onsite_v
                 d[:, 0, 2:4, 2:4] = -np.conj(onsite_v)
@@ -329,10 +355,19 @@ class Hamiltonian:
         self._version += 1
 
         if check:
-            err = float(bs.hermiticity_error(self._data, self._sk))
+            err = float(self._hermiticity_error())
             if err > HERMITICITY_TOL:
                 raise RuntimeError("The constructed Hamiltonian is not Hermitian!")
         return self
+
+    def _hermiticity_error(self) -> float:
+        """Max |H − H†|, host-native when the data is host-resident."""
+        if isinstance(self._data, np.ndarray):
+            from . import native
+
+            if native.available():
+                return native.herm_error(self._data, self._sk.cols, self._sk.trans_slot)
+        return float(bs.hermiticity_error(self._data, self._sk))
 
     # ------------------------------------------------------------------
     # Export

@@ -157,16 +157,30 @@ def skeleton_from_pairs(n_sites: int, rows: np.ndarray, cols: np.ndarray) -> Ske
     slot_pos = np.arange(len(r)) - starts[r]
     cols_arr[r, slot_pos] = c
 
-    # Hermitian-mirror slot for every entry: position of (c, r).
-    pos = {(int(ri), int(ci)): int(si) for ri, ci, si in zip(r, c, slot_pos)}
-    trans = np.zeros((n_sites, S), dtype=np.int32)
-    for ri, ci, si in zip(r, c, slot_pos):
-        mirror = pos.get((int(ci), int(ri)))
-        if mirror is None:
+    # Hermitian-mirror slot for every entry: position of (c, r).  The native
+    # tier resolves mirrors in parallel C++; the NumPy fallback uses a
+    # searchsorted over the (row, col)-sorted pair list.
+    from .. import native
+
+    if native.available():
+        try:
+            trans = native.mirror_slots(cols_arr)
+        except ValueError:
+            raise ValueError(
+                "Structurally asymmetric skeleton: some block (i,j) has no (j,i) mirror"
+            )
+    else:
+        keys = r.astype(np.int64) * n_sites + c.astype(np.int64)
+        mirror_keys = c.astype(np.int64) * n_sites + r.astype(np.int64)
+        idx = np.searchsorted(keys, mirror_keys)
+        ok = (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == mirror_keys)
+        if not ok.all():
+            ri, ci = r[~ok][0], c[~ok][0]
             raise ValueError(
                 f"Structurally asymmetric skeleton: block ({ri},{ci}) has no mirror"
             )
-        trans[ri, si] = mirror
+        trans = np.zeros((n_sites, S), dtype=np.int32)
+        trans[r, slot_pos] = slot_pos[idx].astype(np.int32)
 
     return Skeleton(
         shape=(n_sites, 1, 1),
