@@ -278,17 +278,45 @@ def with_retries(label, fn, attempts=6):
                 or "HTTP 5" in msg
             )
             if i + 1 < attempts and transient:
-                delay = min(20 * (i + 1), 90)
-                log(f"[bench] {label} transient failure ({msg[:80]}); retrying in {delay}s...")
-                time.sleep(delay)
+                log(f"[bench] {label} transient failure ({msg[:80]}); waiting for backend...")
+                time.sleep(10)
+                wait_for_backend(max_wait_s=420)
                 continue
             log(f"[bench] {label} FAILED: {type(e).__name__}: {msg[:200]}")
             return None
 
 
+def wait_for_backend(max_wait_s=900):
+    """Block until the accelerator answers a trivial computation.
+
+    The TPU tunnel has outage windows of many minutes during which *every*
+    operation (compile, execute, transfer) returns UNIMPLEMENTED.  Rather
+    than letting each benchmark burn its retries into the same outage,
+    probe cheaply until the backend responds.
+    """
+    t0 = time.monotonic()
+    delay = 10
+    while True:
+        try:
+            x = jax.device_put(np.ones(8, np.float32))
+            val = float(jnp.sum(x * 2.0))
+            assert val == 16.0
+            log(f"[bench] backend alive ({time.monotonic() - t0:.0f}s probe)")
+            return True
+        except Exception as e:
+            waited = time.monotonic() - t0
+            if waited > max_wait_s:
+                log(f"[bench] backend still down after {waited:.0f}s: {str(e)[:80]}")
+                return False
+            log(f"[bench] backend down ({str(e)[:60]}); re-probing in {delay}s...")
+            time.sleep(delay)
+            delay = min(delay * 1.5, 60)
+
+
 def main():
     backend = jax.devices()[0]
     log(f"[bench] device: {backend} ({backend.platform})")
+    wait_for_backend()
 
     results = {"device": str(backend), "platform": backend.platform}
 
