@@ -241,6 +241,17 @@ class Hamiltonian:
             coords_all = np.array([c for c in self.lattice.sites()], dtype=np.int64)
         N = len(coords_all)
 
+        if not sk.stencil:
+            return self._assemble_generic(
+                coords_all,
+                onsite=onsite,
+                hopping=hopping,
+                pairing_onsite=pairing_onsite,
+                pairing=pairing,
+                reset=reset,
+                check=check,
+            )
+
         def as_blocks(v):
             v = np.asarray(v, dtype=self.dtype)
             if v.ndim == 2:
@@ -354,6 +365,95 @@ class Hamiltonian:
             self._data = d
         self._version += 1
 
+        if check:
+            err = float(self._hermiticity_error())
+            if err > HERMITICITY_TOL:
+                raise RuntimeError("The constructed Hamiltonian is not Hermitian!")
+        return self
+
+    def _assemble_generic(
+        self,
+        coords_all,
+        *,
+        onsite=None,
+        hopping=None,
+        pairing_onsite=None,
+        pairing=None,
+        reset=False,
+        check=True,
+    ) -> "Hamiltonian":
+        """Vectorized assembly on a generic (non-stencil) skeleton.
+
+        Unlike the cubic fast path, the diagonal block of row ``i`` may sit
+        at any slot, so writes are mask-driven per slot.  Host NumPy only —
+        generic skeletons have no stencil structure for a device kernel to
+        exploit, and the result uploads lazily like every host assembly.
+        """
+        sk = self._sk
+        N, S = sk.cols.shape
+        row_ids = np.arange(N)
+        d = (
+            np.zeros_like(np.asarray(self._data))
+            if reset
+            else np.array(self._data, copy=True)
+        )
+
+        def as_blocks(v, B):
+            v = np.asarray(v, dtype=self.dtype)
+            if v.ndim == 2:
+                v = np.broadcast_to(v, (B, 2, 2))
+            return v
+
+        if onsite is not None or pairing_onsite is not None:
+            diag_hits = sk.cols == row_ids[:, None]
+            if not diag_hits.any(axis=1).all():
+                raise ValueError(
+                    "On-site terms require every row to have a diagonal block"
+                )
+            diag_slot = np.argmax(diag_hits, axis=1)
+            if onsite is not None:
+                v = onsite(coords_all)
+                if v is not None:
+                    v = as_blocks(v, N)
+                    d[row_ids, diag_slot, 0:2, 0:2] = v
+                    d[row_ids, diag_slot, 2:4, 2:4] = -np.conj(v)
+            if pairing_onsite is not None:
+                v = pairing_onsite(coords_all)
+                if v is not None:
+                    v = as_blocks(v, N)
+                    d[row_ids, diag_slot, 0:2, 2:4] = v
+                    d[row_ids, diag_slot, 2:4, 0:2] = np.conj(
+                        np.swapaxes(v, -1, -2)
+                    )
+
+        if hopping is not None or pairing is not None:
+            for s in range(S):
+                valid = sk.cols[:, s] >= 0
+                offdiag = valid & (sk.cols[:, s] != row_ids)
+                if not offdiag.any():
+                    continue
+                mask = offdiag[:, None, None]
+                safe_cols = np.where(valid, sk.cols[:, s], 0)
+                ci, cj = coords_all, coords_all[safe_cols]
+                if hopping is not None:
+                    v = hopping(ci, cj)
+                    if v is not None:
+                        v = as_blocks(v, N)
+                        d[:, s, 0:2, 0:2] = np.where(mask, v, d[:, s, 0:2, 0:2])
+                        d[:, s, 2:4, 2:4] = np.where(
+                            mask, -np.conj(v), d[:, s, 2:4, 2:4]
+                        )
+                if pairing is not None:
+                    v = pairing(ci, cj)
+                    vr = pairing(cj, ci)
+                    if v is not None:
+                        v = as_blocks(v, N)
+                        vH = np.conj(np.swapaxes(as_blocks(vr, N), -1, -2))
+                        d[:, s, 0:2, 2:4] = np.where(mask, v, d[:, s, 0:2, 2:4])
+                        d[:, s, 2:4, 0:2] = np.where(mask, vH, d[:, s, 2:4, 0:2])
+
+        self._data = d
+        self._version += 1
         if check:
             err = float(self._hermiticity_error())
             if err > HERMITICITY_TOL:
@@ -519,6 +619,22 @@ class Hamiltonian:
                 self._data, self._sk, i, energies, order=order, kernel=kernel
             )
         raise RuntimeError(f"LDOS method '{method}' is not supported")
+
+    # ------------------------------------------------------------------
+    # Checkpoint / resume
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Checkpoint the assembled operator (skeleton + blocks) to ``path``."""
+        from .utils.serialization import save_hamiltonian
+
+        save_hamiltonian(self, path)
+
+    @classmethod
+    def load(cls, path: str) -> "Hamiltonian":
+        """Restore a Hamiltonian checkpointed with :meth:`save`."""
+        from .utils.serialization import load_hamiltonian
+
+        return load_hamiltonian(path)
 
     def ldos_map(self, sites, energies, method: str = "exact", **kwargs) -> np.ndarray:
         """LDOS at many sites at once → ``[n_sites, n_energies]``.

@@ -65,7 +65,9 @@ class Skeleton:
 
     @property
     def n_slots(self) -> int:
-        return len(self.slots)
+        # Derived from the column table, not the slot-direction table:
+        # generic (non-stencil) skeletons have no direction table at all.
+        return self.cols.shape[1]
 
     @property
     def valid(self) -> np.ndarray:

@@ -94,3 +94,48 @@ def test_generic_matches_cubic_chain_with_pbc():
             H[i, j] = -1.0 * σ0
 
     assert np.allclose(ring.matrix("dense"), cubic.matrix("dense"))
+
+
+def test_generic_vectorized_assemble_matches_dsl():
+    """assemble() on a generic skeleton must equal the with-DSL build."""
+    n = 12
+    _, dsl = build_ring(n)
+
+    lattice = RingLattice(n)
+    fast = Hamiltonian(lattice)
+    ring_bond = lambda ci, cj: (np.abs(ci[:, 0] - cj[:, 0]) % (n - 2) == 1)[:, None, None]
+    fast.assemble(
+        onsite=lambda ci: -0.4 * σ0,
+        pairing_onsite=lambda ci: 0.3 * jσ2,
+        hopping=lambda ci, cj: -1.0 * σ0,  # every structural neighbor is a bond
+    )
+    np.testing.assert_allclose(fast.matrix("dense"), dsl.matrix("dense"), atol=1e-12)
+
+
+def test_generic_assemble_pairing_bonds():
+    """Antisymmetric bond pairing via assemble() stays Hermitian and matches DSL."""
+    n = 10
+    lattice = RingLattice(n)
+
+    def pair_fn(ci, cj):
+        # Odd (p-wave-like) bond pairing ~ sign of the displacement around the ring.
+        d = cj[:, 0] - ci[:, 0]
+        d = np.where(d > n // 2, d - n, np.where(d < -(n // 2), d + n, d))
+        return 0.2 * np.sign(d)[:, None, None] * jσ2
+
+    fast = Hamiltonian(lattice)
+    fast.assemble(
+        onsite=lambda ci: -0.4 * σ0,
+        hopping=lambda ci, cj: -1.0 * σ0,
+        pairing=pair_fn,
+    )
+
+    dsl = Hamiltonian(RingLattice(n))
+    with dsl as (H, Δ):
+        for i in lattice.sites():
+            H[i, i] = -0.4 * σ0
+        for i, j in list(lattice.bonds()) + list(lattice.edges()):
+            H[i, j] = -1.0 * σ0
+            ci = np.array([i]); cj = np.array([j])
+            Δ[i, j] = pair_fn(ci, cj)[0]
+    np.testing.assert_allclose(fast.matrix("dense"), dsl.matrix("dense"), atol=1e-12)
