@@ -29,15 +29,11 @@ import numpy as np
 
 import jax
 
-# Persistent compilation cache: the remote compile service behind the TPU
-# tunnel has long unavailability windows, but cached executables persist
-# across processes and execution is local — so repeated bench runs warm the
-# cache until a run completes entirely from cache.
-_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/bodge_tpu_jax_cache")
-os.makedirs(_CACHE_DIR, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# The bodge_tpu import below enables the per-host persistent compilation
+# cache: the remote compile service behind the TPU tunnel has long
+# unavailability windows, but cached executables persist across processes
+# and execution is local — so repeated bench runs warm the cache until a
+# run completes entirely from cache.
 import jax.numpy as jnp
 
 from bodge_tpu import CubicLattice, Hamiltonian, jσ2, σ0, σ3

@@ -14,6 +14,39 @@ Public API parity: the 30 names of ``bodge/__init__.py:13-51`` plus the
 TPU-native extensions.
 """
 
+def _enable_persistent_compile_cache():
+    """Persist XLA executables across processes (set BODGE_NO_CACHE=1 to skip).
+
+    On backends with a *remote* compile service (e.g. a tunnelled TPU), the
+    service can be unavailable for minutes at a stretch while local
+    execution keeps working — a warm on-disk cache makes every previously
+    compiled program immune to those windows.  Keyed per host so CPU AOT
+    artifacts never migrate across machine types.
+    """
+    import os
+
+    if os.environ.get("BODGE_NO_CACHE") == "1":
+        return
+    try:
+        import platform
+        import socket
+
+        import jax
+
+        host = f"{platform.machine()}_{socket.gethostname()}"
+        cache = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", f"/tmp/bodge_tpu_jax_cache_{host}"
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass  # never let cache plumbing break imports
+
+
+_enable_persistent_compile_cache()
+
 from .common import (
     Coord,
     Coords,
