@@ -26,3 +26,22 @@ def test_stacks_and_aliases():
 def test_dtypes():
     for m in (σ0, σ1, σ2, σ3, jσ0):
         assert m.dtype == np.complex128
+
+
+def test_public_api_surface_parity():
+    """The reference's 30-name `__all__` must be importable verbatim."""
+    import bodge_tpu
+
+    reference_all = [
+        "Lattice", "CubicLattice", "Hamiltonian",
+        "Coord", "Coords", "Index", "Indices",
+        "ssd", "swave", "pwave", "dwave",
+        "π", "σ", "σ0", "σ1", "σ2", "σ3",
+        "jσ", "jσ0", "jσ1", "jσ2", "jσ3",
+        "pi", "sigma", "sigma0", "sigma1", "sigma2", "sigma3",
+        "jsigma", "jsigma0", "jsigma1", "jsigma2", "jsigma3",
+    ]
+    missing = [n for n in reference_all if not hasattr(bodge_tpu, n)]
+    assert not missing, f"missing public names: {missing}"
+    for n in reference_all:
+        assert n in bodge_tpu.__all__ or hasattr(bodge_tpu, n)
