@@ -8,51 +8,63 @@ Prints ONE JSON line for the driver:
 
 The headline metric is the BASELINE.json north star: Chebyshev block-SpMM
 throughput per chip on the 200×200 s-wave configuration, with
-``vs_baseline`` the achieved fraction of the *measured* HBM-bandwidth
-roofline for the kernel's unavoidable traffic (target ≥ 0.70).
+``vs_baseline`` the achieved fraction of the HBM-bandwidth roofline for the
+kernel's unavoidable traffic (target ≥ 0.70).
 
 Additional results (assembly wall-clock vs the reference's published
-numbers from misc/benchmark.csv, KPM LDOS timing, measured HBM bandwidth)
-are written to ``bench_results.json``.
+numbers from misc/benchmark.csv, 100×100 build+diagonalize, KPM LDOS
+timing, accelerator-vs-host-float64 drift) go to ``bench_results.json``.
 
-Methodology follows the reference benchmark: min over repeats after
-warmup (reference misc/benchmark.py:145-153).
+Methodology follows the reference benchmark: min over repeats after warmup
+(reference misc/benchmark.py:145-153).
+
+Architecture: the TPU behind this environment's tunnel can *hang* (not
+just error) for minutes at a stretch, so the orchestrating process never
+touches JAX.  Every benchmark section runs in a child process
+(``bench.py --section NAME``) under a hard timeout, retried through outage
+windows; the per-host persistent compile cache (enabled by the bodge_tpu
+import in the child) makes retries cheap and lets a later run complete
+entirely from cached executables.
 """
 
+import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 from functools import partial
 
 import numpy as np
 
-import jax
-
-# The bodge_tpu import below enables the per-host persistent compilation
-# cache: the remote compile service behind the TPU tunnel has long
-# unavailability windows, but cached executables persist across processes
-# and execution is local — so repeated bench runs warm the cache until a
-# run completes entirely from cache.
-import jax.numpy as jnp
-
-from bodge_tpu import CubicLattice, Hamiltonian, jσ2, σ0, σ3
-from bodge_tpu.ops import chebyshev as kpm
-from bodge_tpu.ops.blocksparse import BLOCK
-from bodge_tpu.ops.spmm import spmm, spmm_bytes, spmm_flops
-from bodge_tpu.utils.profiling import (
-    Roofline,
-    best_time,
-    hbm_roof_for_device,
-    measure_hbm_bandwidth,
-    time_iterated,
-)
-
 SPMM_IMPL = "stencil"
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+# ===========================================================================
+# Child mode: the actual benchmark sections (jax imported lazily here).
+# ===========================================================================
+def _child_imports():
+    global jax, jnp, kpm, CubicLattice, Hamiltonian, jσ2, σ0, σ3, BLOCK
+    global spmm, spmm_bytes, spmm_flops
+    global Roofline, best_time, hbm_roof_for_device, measure_hbm_bandwidth, time_iterated
+    import jax
+    import jax.numpy as jnp
+
+    from bodge_tpu import CubicLattice, Hamiltonian, jσ2, σ0, σ3
+    from bodge_tpu.ops import chebyshev as kpm
+    from bodge_tpu.ops.blocksparse import BLOCK
+    from bodge_tpu.ops.spmm import spmm, spmm_bytes, spmm_flops
+    from bodge_tpu.utils.profiling import (
+        Roofline,
+        best_time,
+        hbm_roof_for_device,
+        measure_hbm_bandwidth,
+        time_iterated,
+    )
 
 
 def build_swave(L, W=None, Δ0=0.4, μ=0.5, t=1.0):
@@ -70,8 +82,9 @@ def build_swave(L, W=None, Δ0=0.4, μ=0.5, t=1.0):
     return lattice, system
 
 
-def bench_spmm_chebyshev(L=200, order=256, K=4, hbm_bw=None, impl="stencil"):
+def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil"):
     """Headline: sustained SpMM throughput inside a KPM moment scan."""
+    hbm_bw = hbm_roof_for_device(jax.devices()[0])
     lattice, system = build_swave(L)
     sk = system.skeleton
     dtype = system.dtype
@@ -126,8 +139,7 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, hbm_bw=None, impl="stencil"):
     # Escalate the iteration count if the figure is implausible (relay
     # stalls can corrupt short measurements).
     itemsize_chk = np.dtype(dtype).itemsize
-    roof_guess = (hbm_bw or 819e9)
-    frac = spmm_bytes(sk, K, itemsize_chk) / t_step / roof_guess
+    frac = spmm_bytes(sk, K, itemsize_chk) / t_step / hbm_bw
     if frac > 1.2 or frac < 0.005:
         log(f"[spmm:{impl}] implausible ({100*frac:.0f}% of roof); re-measuring longer...")
         t_step = time_iterated(make_run, order, 4 * order, repeats=5)
@@ -138,7 +150,7 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, hbm_bw=None, impl="stencil"):
         time_s=t_step,
         bytes_moved=spmm_bytes(sk, K, itemsize),
         flops=spmm_flops(sk, K),
-        hbm_bw=hbm_bw or measure_hbm_bandwidth(),
+        hbm_bw=hbm_bw,
     )
     nnz_per_s = nnz_scalars / t_step
     log(f"[spmm:{impl}] {t_step*1e6:.1f} µs/step → {nnz_per_s/1e9:.2f} Gnnz/s; {roof.summary()}")
@@ -159,9 +171,9 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, hbm_bw=None, impl="stencil"):
 
 
 def bench_assembly(L=1024, W=1024):
-    """Vectorized assembly wall-clock (host NumPy path — the apples-to-
-    apples comparison: the reference also assembles on the host CPU, in
-    133.9 s at 1M sites through its Python-dict loop, benchmark.csv:40)."""
+    """Vectorized assembly wall-clock (host path — the apples-to-apples
+    comparison: the reference also assembles on the host CPU, in 133.9 s at
+    1M sites through its Python-dict loop, benchmark.csv:40)."""
     t_mu, M0, Δ0, χ, t_hop = 1.0, 1.5, 0.1, 0.5, 1.0
     lattice = CubicLattice((L, W, 1))
 
@@ -191,9 +203,33 @@ def bench_assembly(L=1024, W=1024):
 
     t_build = best_time(lambda: run(), repeats=3, warmup=1)
     sites = L * W
+    from bodge_tpu import native
+
     log(f"[assembly] {sites} sites in {t_build:.3f} s ({sites/t_build/1e6:.2f} Msites/s)")
     return {"sites": sites, "time_s": t_build, "sites_per_s": sites / t_build,
-            "reference_s_at_1M": 133.9}
+            "native_tier": native.available(), "reference_s_at_1M": 133.9}
+
+
+def bench_diagonalize(sizes=(64, 100)):
+    """Build + dense diagonalize wall-clock (BASELINE.json headline config:
+    100×100 s-wave).  Tries each lattice size and reports the ones that fit
+    on-chip; the 100×100 case is a 40 000×40 000 dense eigh — at the edge
+    of a single v5e's HBM in complex64 (SURVEY §7 'hard parts' #2)."""
+    out = []
+    for L in sizes:
+        try:
+            t0 = time.perf_counter()
+            lattice, system = build_swave(L)
+            E = system.eigenvalues()
+            t_total = time.perf_counter() - t0
+            assert E.shape[0] == 2 * lattice.size
+            gap = float(E.min())
+            log(f"[diag] {L}×{L}: build+eigvalsh in {t_total:.2f} s (gap {gap:.4f})")
+            out.append({"L": L, "time_s": t_total, "dim": 4 * lattice.size, "gap": gap})
+        except Exception as e:
+            log(f"[diag] {L}×{L} failed: {type(e).__name__}: {str(e)[:120]}")
+            out.append({"L": L, "error": str(e)[:200]})
+    return out
 
 
 def bench_kpm_ldos(L=200, order=512):
@@ -223,8 +259,7 @@ def bench_consistency(L=12, order=48):
     The analog of the reference's GPU-vs-CPU consistency test
     (tests/test_hamiltonian.py:389-425): same small system, moments
     computed on the accelerator in its native precision vs a NumPy
-    complex128 dense Chebyshev recursion.
-    """
+    complex128 dense Chebyshev recursion."""
     lattice, system = build_swave(L)
     sk = system.skeleton
     N = lattice.size
@@ -255,93 +290,124 @@ def bench_consistency(L=12, order=48):
             "dtype": str(np.dtype(system.dtype))}
 
 
-def with_retries(label, fn, attempts=6):
-    """The remote-compile tunnel intermittently returns UNIMPLEMENTED /
-    INTERNAL errors (both at compile time and at transfer time, and for
-    minutes at a stretch); retry transient failures with backoff before
-    giving up.  NOTE: failures are far more likely when another process
-    shares the tunnel — run the bench exclusively."""
-    for i in range(attempts):
-        try:
-            return fn()
-        except Exception as e:
-            msg = str(e)
-            transient = (
-                "UNIMPLEMENTED" in msg
-                or "INTERNAL" in msg
-                or "UNAVAILABLE" in msg
-                or "DEADLINE" in msg
-                or "HTTP 5" in msg
-            )
-            if i + 1 < attempts and transient:
-                log(f"[bench] {label} transient failure ({msg[:80]}); waiting for backend...")
-                time.sleep(10)
-                wait_for_backend(max_wait_s=420)
-                continue
-            log(f"[bench] {label} FAILED: {type(e).__name__}: {msg[:200]}")
-            return None
+SECTIONS = {
+    "device_info": lambda: {
+        "device": str(jax.devices()[0]),
+        "platform": jax.devices()[0].platform,
+        "hbm_roof_GBps_spec": hbm_roof_for_device(jax.devices()[0]) / 1e9,
+    },
+    "spmm_stencil": lambda: bench_spmm_chebyshev(impl="stencil"),
+    "spmm_pallas": lambda: bench_spmm_chebyshev(impl="pallas"),
+    "assembly": bench_assembly,
+    "diagonalize": bench_diagonalize,
+    "kpm_ldos": bench_kpm_ldos,
+    "consistency": bench_consistency,
+}
+
+# Generous first-compile budgets; cache-warm runs finish far faster.
+SECTION_TIMEOUT_S = {
+    "device_info": 240,
+    "spmm_stencil": 1500,
+    "spmm_pallas": 1500,
+    "assembly": 900,
+    "diagonalize": 1200,
+    "kpm_ldos": 1200,
+    "consistency": 600,
+}
 
 
-def wait_for_backend(max_wait_s=900):
-    """Block until the accelerator answers a trivial computation.
-
-    The TPU tunnel has outage windows of many minutes during which *every*
-    operation (compile, execute, transfer) returns UNIMPLEMENTED.  Rather
-    than letting each benchmark burn its retries into the same outage,
-    probe cheaply until the backend responds.
-    """
-    t0 = time.monotonic()
-    delay = 10
-    while True:
-        try:
-            x = jax.device_put(np.ones(8, np.float32))
-            val = float(jnp.sum(x * 2.0))
-            assert val == 16.0
-            log(f"[bench] backend alive ({time.monotonic() - t0:.0f}s probe)")
-            return True
-        except Exception as e:
-            waited = time.monotonic() - t0
-            if waited > max_wait_s:
-                log(f"[bench] backend still down after {waited:.0f}s: {str(e)[:80]}")
-                return False
-            log(f"[bench] backend down ({str(e)[:60]}); re-probing in {delay}s...")
-            time.sleep(delay)
-            delay = min(delay * 1.5, 60)
+def child_main(section: str, out_path: str) -> int:
+    _child_imports()
+    result = SECTIONS[section]()
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+    return 0
 
 
-def main():
-    backend = jax.devices()[0]
-    log(f"[bench] device: {backend} ({backend.platform})")
-    wait_for_backend()
+# ===========================================================================
+# Parent mode: jax-free orchestration with hard timeouts.
+# ===========================================================================
+_PROBE_CODE = (
+    "import bodge_tpu, jax, numpy as np, jax.numpy as jnp;"
+    "x = jax.device_put(np.ones(8, np.float32));"
+    "assert float(jnp.sum(x * 2.0)) == 16.0"
+)
 
-    results = {"device": str(backend), "platform": backend.platform}
 
-    # Roofline reference = spec-sheet bandwidth; measuring through the async
-    # compile relay is unreliable (minute-scale stalls wedge the backend).
-    # Set BENCH_MEASURE_HBM=1 to cross-check with a measured figure.
-    hbm_bw = hbm_roof_for_device(backend)
-    results["hbm_roof_GBps_spec"] = hbm_bw / 1e9
-    log(f"[bench] HBM roof (spec for {backend.device_kind}): {hbm_bw/1e9:.0f} GB/s")
-    if os.environ.get("BENCH_MEASURE_HBM") == "1":
-        measured = with_retries("hbm", measure_hbm_bandwidth)
-        results["hbm_bw_GBps_measured"] = measured / 1e9 if measured else None
-        log(f"[bench] measured ≈ {measured/1e9:.0f} GB/s" if measured else "[bench] BW n/a")
-
-    cands = []
-    for impl in ("stencil", "pallas"):
-        r = with_retries(
-            f"spmm:{impl}", lambda impl=impl: bench_spmm_chebyshev(hbm_bw=hbm_bw, impl=impl)
+def probe_backend(timeout_s=240) -> bool:
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            timeout=timeout_s,
+            capture_output=True,
         )
-        if r:
-            results[f"chebyshev_spmm_{impl}"] = r
-            cands.append(r)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_backend(max_wait_s=1200) -> bool:
+    """Poll (in killable subprocesses) until the accelerator answers."""
+    t0 = time.monotonic()
+    while True:
+        if probe_backend():
+            log(f"[bench] backend alive ({time.monotonic() - t0:.0f}s)")
+            return True
+        waited = time.monotonic() - t0
+        if waited > max_wait_s:
+            log(f"[bench] backend still down after {waited:.0f}s")
+            return False
+        log(f"[bench] backend down/hung; re-probing ({waited:.0f}s elapsed)...")
+        time.sleep(20)
+
+
+def run_section(section: str, attempts: int = 3):
+    timeout_s = SECTION_TIMEOUT_S.get(section, 900)
+    out_path = f"/tmp/bodge_bench_{section}.json"
+    for i in range(attempts):
+        if os.path.exists(out_path):
+            os.unlink(out_path)
+        log(f"[bench] section {section} (attempt {i + 1}/{attempts}, timeout {timeout_s}s)")
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--section", section,
+                 "--out", out_path],
+                timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"[bench] section {section} timed out (hung backend?); retrying")
+            wait_for_backend(max_wait_s=600)
+            continue
+        if r.returncode == 0 and os.path.exists(out_path):
+            with open(out_path) as f:
+                return json.load(f)
+        log(f"[bench] section {section} exited rc={r.returncode}; retrying")
+        wait_for_backend(max_wait_s=600)
+    log(f"[bench] section {section} FAILED after {attempts} attempts")
+    return None
+
+
+def parent_main():
+    deadline = time.monotonic() + float(os.environ.get("BENCH_DEADLINE_S", 5400))
+    results = {}
+
+    wait_for_backend()
+    results["device_info"] = run_section("device_info")
+
+    order = ["spmm_stencil", "spmm_pallas", "assembly", "diagonalize",
+             "kpm_ldos", "consistency"]
+    for section in order:
+        if time.monotonic() > deadline:
+            log(f"[bench] global deadline reached; skipping {section}")
+            results[section] = None
+            continue
+        results[section] = run_section(section)
+
+    cands = [r for r in (results.get("spmm_stencil"), results.get("spmm_pallas")) if r]
     results["chebyshev_spmm"] = max(cands, key=lambda r: r["nnz_per_s"]) if cands else None
 
-    results["assembly"] = with_retries("assembly", bench_assembly)
-    results["kpm_ldos"] = with_retries("ldos", bench_kpm_ldos)
-    results["consistency"] = with_retries("consistency", bench_consistency)
-
-    with open("bench_results.json", "w") as f:
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_results.json"), "w") as f:
         json.dump(results, f, indent=2)
 
     head = results["chebyshev_spmm"]
@@ -359,6 +425,16 @@ def main():
             }
         )
     )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--section", default=None, choices=sorted(SECTIONS))
+    ap.add_argument("--out", default="/tmp/bodge_bench_section.json")
+    args = ap.parse_args()
+    if args.section:
+        sys.exit(child_main(args.section, args.out))
+    parent_main()
 
 
 if __name__ == "__main__":
