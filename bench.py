@@ -334,7 +334,7 @@ _PROBE_CODE = (
 )
 
 
-def probe_backend(timeout_s=240) -> bool:
+def probe_backend(timeout_s=150) -> bool:
     try:
         r = subprocess.run(
             [sys.executable, "-c", _PROBE_CODE],
@@ -358,7 +358,7 @@ def wait_for_backend(max_wait_s=1200) -> bool:
             log(f"[bench] backend still down after {waited:.0f}s")
             return False
         log(f"[bench] backend down/hung; re-probing ({waited:.0f}s elapsed)...")
-        time.sleep(20)
+        time.sleep(10)
 
 
 def run_section(section: str, attempts: int = 3):
@@ -388,10 +388,13 @@ def run_section(section: str, attempts: int = 3):
 
 
 def parent_main():
-    deadline = time.monotonic() + float(os.environ.get("BENCH_DEADLINE_S", 5400))
+    budget = float(os.environ.get("BENCH_DEADLINE_S", 5400))
+    deadline = time.monotonic() + budget
     results = {}
 
-    wait_for_backend()
+    # Sections are pointless while the backend is down — spend up to 60% of
+    # the budget waiting for an up-window before starting.
+    wait_for_backend(max_wait_s=0.6 * budget)
     results["device_info"] = run_section("device_info")
 
     order = ["spmm_stencil", "spmm_pallas", "assembly", "diagonalize",
