@@ -15,23 +15,35 @@ TPU-native extensions.
 """
 
 def _enable_persistent_compile_cache():
-    """Persist XLA executables across processes (set BODGE_NO_CACHE=1 to skip).
+    """Persist XLA executables across processes — CPU platform only.
 
-    On backends with a *remote* compile service (e.g. a tunnelled TPU), the
-    service can be unavailable for minutes at a stretch while local
-    execution keeps working — a warm on-disk cache makes every previously
-    compiled program immune to those windows.  Keyed per host so CPU AOT
-    artifacts never migrate across machine types.
+    Set ``BODGE_NO_CACHE=1`` to skip entirely, ``BODGE_FORCE_CACHE=1`` to
+    enable regardless of platform.
+
+    NOT enabled for the tunnelled-TPU (axon) backend: its PJRT plugin does
+    not implement executable *deserialization*, so every persistent-cache
+    HIT fails with ``UNIMPLEMENTED`` — a cache there turns previously-run
+    programs into permanently failing ones (first run compiles + stores
+    fine; every later process dies loading the entry).  Keyed per host so
+    CPU AOT artifacts never migrate across machine types.
     """
     import os
 
     if os.environ.get("BODGE_NO_CACHE") == "1":
         return
     try:
+        import jax
+
+        platforms = str(
+            jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+        ).lower()
+        # Enable only when CPU is the sole platform: 'axon,cpu' etc. still
+        # compile on the accelerator, where cache hits are fatal.
+        if platforms != "cpu" and os.environ.get("BODGE_FORCE_CACHE") != "1":
+            return
+
         import platform
         import socket
-
-        import jax
 
         host = f"{platform.machine()}_{socket.gethostname()}"
         cache = os.environ.get(

@@ -256,7 +256,10 @@ class Hamiltonian:
             v = np.asarray(v, dtype=self.dtype)
             if v.ndim == 2:
                 v = np.broadcast_to(v, (N, 2, 2))
-            return v
+            # Materialize broadcast/strided views: uploading non-contiguous
+            # NumPy arrays is unimplemented on some PJRT backends (the axon
+            # TPU tunnel rejects stride-0 arrays and wedges the process).
+            return np.ascontiguousarray(v)
 
         # Evaluate all user callables host-side (NumPy), then apply every
         # symmetry-respecting write in ONE jitted kernel: eager per-op
