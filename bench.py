@@ -90,10 +90,30 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil"):
     dtype = system.dtype
     N = lattice.size
 
-    v0 = jnp.zeros((N, BLOCK, K), dtype=dtype)
-    v0 = v0.at[N // 2, jnp.arange(min(BLOCK, K)) % BLOCK, jnp.arange(min(BLOCK, K))].set(1.0)
+    if impl == "auto":
+        impl = kpm.default_impl()
 
-    if impl == "pallas":
+    v0 = np.zeros((N, BLOCK, K), dtype=dtype)
+    v0[N // 2, np.arange(min(BLOCK, K)) % BLOCK, np.arange(min(BLOCK, K))] = 1.0
+
+    if impl == "planar":
+        from bodge_tpu.ops.planar import spmm_planar, to_planar
+
+        operand = to_planar(system.host_data())
+        vec = to_planar(v0)
+        inv = jnp.asarray(0.1, jnp.float32)
+
+        @partial(jax.jit, static_argnames=("n",))
+        def scan_spmm(data, v, inv, n):
+            def step(carry, _):
+                t_prev, t_cur = carry
+                t_next = 2.0 * (spmm_planar(data, sk, t_cur) * inv) - t_prev
+                return (t_cur, t_next), None
+
+            (_, out), _ = jax.lax.scan(step, (v, v), None, length=n)
+            return out[0, 0, 0, 0]
+
+    elif impl == "pallas":
         from bodge_tpu.ops.pallas_spmm import pack_operator, pack_vector, spmm_pallas_packed
 
         b_packed = pack_operator(system.data, sk)
@@ -112,6 +132,7 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil"):
 
         operand, vec = b_packed, v0p
     else:
+        v0 = jnp.asarray(v0)
         inv = jnp.asarray(0.1, dtype=jnp.real(jnp.zeros((), dtype)).dtype)
 
         @partial(jax.jit, static_argnames=("n",))
@@ -236,14 +257,14 @@ def bench_kpm_ldos(L=200, order=512):
     lattice, system = build_swave(L)
     i0 = lattice[(L // 2, L // 2, 0)]
     energies = np.linspace(-1.5, 1.5, 41)
-    scale = kpm.spectral_bound(system.data, system.skeleton)
+    scale = kpm.spectral_bound(system.host_data(), system.skeleton)
 
     t0 = time.perf_counter()
-    ρ = kpm.ldos_kpm(system.data, system.skeleton, i0, energies, order=order, scale=scale)
+    ρ = kpm.ldos_kpm(system.host_data(), system.skeleton, i0, energies, order=order, scale=scale)
     t_first = time.perf_counter() - t0
     t_run = best_time(
         lambda: np.sum(
-            kpm.ldos_kpm(system.data, system.skeleton, i0, energies, order=order, scale=scale)
+            kpm.ldos_kpm(system.host_data(), system.skeleton, i0, energies, order=order, scale=scale)
         ),
         repeats=3,
         warmup=0,
@@ -263,17 +284,17 @@ def bench_consistency(L=12, order=48):
     lattice, system = build_swave(L)
     sk = system.skeleton
     N = lattice.size
-    a = float(kpm.spectral_bound(system.data, sk))
+    a = float(kpm.spectral_bound(system.host_data(), sk))
 
     site = N // 2
-    v0 = jnp.zeros((N, BLOCK, BLOCK), dtype=system.dtype)
-    v0 = v0.at[site, jnp.arange(BLOCK), jnp.arange(BLOCK)].set(1.0)
-    mu_dev = np.asarray(kpm.moments(system.data, sk, v0, order, a))
+    v0 = np.zeros((N, BLOCK, BLOCK), dtype=system.dtype)
+    v0[site, np.arange(BLOCK), np.arange(BLOCK)] = 1.0
+    mu_dev = np.asarray(kpm.moments(system.host_data(), sk, v0, order, a))
 
     # Host float64 oracle: dense recursion over the same operator.
     from bodge_tpu.ops.blocksparse import ell_to_dense
 
-    H = ell_to_dense(np.asarray(system.data).astype(np.complex128), sk) / a
+    H = ell_to_dense(system.host_data().astype(np.complex128), sk) / a
     V0 = np.zeros((4 * N, 4), dtype=np.complex128)
     V0[4 * site : 4 * site + 4] = np.eye(4)
     t_prev, t_cur = V0.copy(), H @ V0
@@ -296,7 +317,7 @@ SECTIONS = {
         "platform": jax.devices()[0].platform,
         "hbm_roof_GBps_spec": hbm_roof_for_device(jax.devices()[0]) / 1e9,
     },
-    "spmm_stencil": lambda: bench_spmm_chebyshev(impl="stencil"),
+    "spmm_main": lambda: bench_spmm_chebyshev(impl="auto"),
     "spmm_pallas": lambda: bench_spmm_chebyshev(impl="pallas"),
     "assembly": bench_assembly,
     "diagonalize": bench_diagonalize,
@@ -307,7 +328,7 @@ SECTIONS = {
 # Generous first-compile budgets; cache-warm runs finish far faster.
 SECTION_TIMEOUT_S = {
     "device_info": 240,
-    "spmm_stencil": 1500,
+    "spmm_main": 1500,
     "spmm_pallas": 1500,
     "assembly": 900,
     "diagonalize": 1200,
@@ -397,7 +418,7 @@ def parent_main():
     wait_for_backend(max_wait_s=0.6 * budget)
     results["device_info"] = run_section("device_info")
 
-    order = ["spmm_stencil", "spmm_pallas", "assembly", "diagonalize",
+    order = ["spmm_main", "spmm_pallas", "assembly", "diagonalize",
              "kpm_ldos", "consistency"]
     for section in order:
         if time.monotonic() > deadline:
@@ -406,7 +427,7 @@ def parent_main():
             continue
         results[section] = run_section(section)
 
-    cands = [r for r in (results.get("spmm_stencil"), results.get("spmm_pallas")) if r]
+    cands = [r for r in (results.get("spmm_main"), results.get("spmm_pallas")) if r]
     results["chebyshev_spmm"] = max(cands, key=lambda r: r["nnz_per_s"]) if cands else None
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -41,6 +41,23 @@ from .ops.spmm import spmm as _spmm
 HERMITICITY_TOL = 1e-6
 
 import functools
+import os
+
+
+@functools.lru_cache(maxsize=1)
+def use_planar_device_path() -> bool:
+    """Whether device compute should use the planar (split-complex f32)
+    representation.  Default: yes on TPU backends — TPU hardware has no
+    native complex arithmetic, and the tunnelled-TPU PJRT backend fails
+    outright on many complex lowerings (complex scan carries, chained
+    complex updates, complex eigh).  Override with BODGE_PLANAR=0/1."""
+    env = os.environ.get("BODGE_PLANAR")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 @functools.lru_cache(maxsize=64)
@@ -124,12 +141,35 @@ class Hamiltonian:
     # ------------------------------------------------------------------
     @property
     def data(self):
-        """ELL block data ``[N, S, 4, 4]`` (immutable JAX array)."""
+        """ELL block data ``[N, S, 4, 4]`` (complex; host or device array)."""
         return self._data
 
     @property
     def skeleton(self) -> Skeleton:
         return self._sk
+
+    def host_data(self) -> np.ndarray:
+        """The complex block data as a host NumPy array."""
+        if isinstance(self._data, np.ndarray):
+            return self._data
+        return np.asarray(self._data)
+
+    def device_operator(self):
+        """The operator in the backend's device representation, cached per
+        version: planar ``[2, N, S, 4, 4]`` float32 on TPU, complex JAX
+        array elsewhere."""
+        from .ops import planar as pl_ops
+
+        kind = "planar" if use_planar_device_path() else "complex"
+        cache = getattr(self, "_dev_cache", None)
+        if cache is not None and cache[0] == self._version and cache[1] == kind:
+            return cache[2]
+        if kind == "planar":
+            op = pl_ops.to_planar(self.host_data())
+        else:
+            op = jnp.asarray(self._data)
+        self._dev_cache = (self._version, kind, op)
+        return op
 
     def index(self, row: Coord, col: Coord) -> Index:
         """Flat block index k of block (row, col): ``data.reshape(-1,4,4)[k]``.
@@ -154,7 +194,13 @@ class Hamiltonian:
             del self._hopp, self._pair
             return False
 
-        data = jnp.asarray(self._data)  # host-assembled data uploads lazily
+        if use_planar_device_path() or isinstance(self._data, np.ndarray):
+            # Host scatter: on planar backends the device must not see
+            # complex buffers, and for host-resident data a device
+            # round-trip buys nothing.
+            data = np.array(self._data, copy=True)
+        else:
+            data = jnp.asarray(self._data)
         data = self._scatter_terms(data, self._hopp, self._pair)
         self._data = data
         self._version += 1
@@ -172,8 +218,13 @@ class Hamiltonian:
         return np.array([self.lattice.index(tuple(int(v) for v in c)) for c in coords])
 
     def _scatter_terms(self, data, hopp: dict, pair: dict):
-        """Batched symmetry-respecting block writes for both term dicts."""
+        """Batched symmetry-respecting block writes for both term dicts.
+
+        Works on host NumPy data (in-place fancy writes) and on device JAX
+        arrays (functional ``.at`` scatters) alike.
+        """
         sk = self._sk
+        on_host = isinstance(data, np.ndarray)
 
         if hopp:
             ci = np.array([k[0] for k in hopp.keys()], dtype=np.int64)
@@ -182,9 +233,13 @@ class Hamiltonian:
             rows = self._site_indices(ci)
             cols = self._site_indices(cj)
             slots = bs.slot_lookup(sk, rows, cols)
-            v = jnp.asarray(vals)
-            data = data.at[rows, slots, 0:2, 0:2].set(v)
-            data = data.at[rows, slots, 2:4, 2:4].set(-jnp.conj(v))
+            if on_host:
+                data[rows, slots, 0:2, 0:2] = vals
+                data[rows, slots, 2:4, 2:4] = -np.conj(vals)
+            else:
+                v = jnp.asarray(vals)
+                data = data.at[rows, slots, 0:2, 0:2].set(v)
+                data = data.at[rows, slots, 2:4, 2:4].set(-jnp.conj(v))
 
         if pair:
             ci = np.array([k[0] for k in pair.keys()], dtype=np.int64)
@@ -194,10 +249,14 @@ class Hamiltonian:
             cols = self._site_indices(cj)
             s_fwd = bs.slot_lookup(sk, rows, cols)
             s_rev = bs.slot_lookup(sk, cols, rows)
-            v = jnp.asarray(vals)
-            vH = jnp.conj(jnp.swapaxes(v, -1, -2))
-            data = data.at[rows, s_fwd, 0:2, 2:4].set(v)
-            data = data.at[cols, s_rev, 2:4, 0:2].set(vH)
+            if on_host:
+                data[rows, s_fwd, 0:2, 2:4] = vals
+                data[cols, s_rev, 2:4, 0:2] = np.conj(np.swapaxes(vals, -1, -2))
+            else:
+                v = jnp.asarray(vals)
+                vH = jnp.conj(jnp.swapaxes(v, -1, -2))
+                data = data.at[rows, s_fwd, 0:2, 2:4].set(v)
+                data = data.at[cols, s_rev, 2:4, 0:2].set(vH)
 
         return data
 
@@ -295,6 +354,12 @@ class Hamiltonian:
             if pair_s:
                 pair_v = np.stack(pair_s)
                 pair_rev_v = np.stack(pair_rev_s)
+
+        if device and use_planar_device_path():
+            # Planar backends must not run the complex device kernel; the
+            # native host scatter assembles in host memory and the planar
+            # operator uploads lazily via device_operator().
+            device = False
 
         if device:
             kernel = _assemble_kernel(
@@ -505,19 +570,37 @@ class Hamiltonian:
     # ------------------------------------------------------------------
     # Operator application
     # ------------------------------------------------------------------
-    def apply(self, v, *, impl: str = "stencil"):
+    def apply(self, v, *, impl: Optional[str] = None):
         """Block-sparse product ``H @ v`` for ``v: [N, 4, K]``."""
+        if impl is None:
+            impl = "planar" if use_planar_device_path() else "stencil"
+        if impl == "planar":
+            from .ops import planar as pl_ops
+
+            vp = pl_ops.to_planar(np.ascontiguousarray(np.asarray(v)))
+            yp = pl_ops.spmm_planar(self.device_operator(), self._sk, vp)
+            return jnp.asarray(pl_ops.from_planar(yp, self.dtype))
         return _spmm(self._data, self._sk, v, impl=impl)
 
     # ------------------------------------------------------------------
     # Solvers
     # ------------------------------------------------------------------
     def _full_spectrum(self):
-        """Full (E, X) eigendecomposition, cached per Hamiltonian version."""
+        """Full (E, X) eigendecomposition, cached per Hamiltonian version.
+
+        On planar backends the complex Hermitian problem is solved through
+        its real-symmetric embedding (complex eigh is unavailable there).
+        """
         if self._eigh_cache is not None and self._eigh_cache[0] == self._version:
             return self._eigh_cache[1], self._eigh_cache[2]
-        Hd = self.matrix(format="dense_jnp")
-        E, X = dense_ops._eigh(Hd)
+        if use_planar_device_path():
+            from .ops import planar as pl_ops
+
+            E, X = pl_ops.eigh_planar(self.device_operator(), self._sk)
+            E, X = jnp.asarray(E), jnp.asarray(X)
+        else:
+            Hd = self.matrix(format="dense_jnp")
+            E, X = dense_ops._eigh(Hd)
         self._eigh_cache = (self._version, E, X)
         return E, X
 
@@ -547,9 +630,14 @@ class Hamiltonian:
         """Positive eigenvalues only (no eigenvectors)."""
         if self._eigh_cache is not None and self._eigh_cache[0] == self._version:
             E = self._eigh_cache[1]
+        elif use_planar_device_path():
+            from .ops import planar as pl_ops
+
+            E = pl_ops.eigvalsh_planar(self.device_operator(), self._sk)
         else:
             E = jnp.linalg.eigvalsh(self.matrix(format="dense_jnp"))
-        return np.asarray(E[E.shape[0] // 2 :])
+        E = np.asarray(E)
+        return E[E.shape[0] // 2 :]
 
     def free_energy(
         self,

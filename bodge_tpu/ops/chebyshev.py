@@ -38,6 +38,19 @@ from .spmm import spmm
 DEFAULT_ORDER = 512
 
 
+def default_impl() -> str:
+    """Backend-appropriate SpMM implementation: planar (split-complex f32)
+    on TPU — where complex scan carries are unsupported and f32 is the
+    native dtype — and the complex stencil elsewhere."""
+    from ..hamiltonian import use_planar_device_path
+
+    return "planar" if use_planar_device_path() else "stencil"
+
+
+def _resolve_impl(impl):
+    return default_impl() if impl in (None, "auto") else impl
+
+
 def _rescaled_op(data, sk: Skeleton, inv_scale, impl: str):
     def H_tilde(v):
         return spmm(data, sk, v, impl=impl) * inv_scale
@@ -45,7 +58,7 @@ def _rescaled_op(data, sk: Skeleton, inv_scale, impl: str):
     return H_tilde
 
 
-def spectral_bound(data, sk: Skeleton, iters: int = 60, key=None, impl: str = "stencil"):
+def spectral_bound(data, sk: Skeleton, iters: int = 60, key=None, impl: str = None):
     """Estimate ‖H‖₂ by power iteration on the Hermitian operator.
 
     The Rayleigh-quotient estimate never overshoots λ_max but can sit
@@ -54,11 +67,46 @@ def spectral_bound(data, sk: Skeleton, iters: int = 60, key=None, impl: str = "s
     robustly — Chebyshev recursions diverge exponentially if any
     eigenvalue escapes the interval.
     """
+    impl = _resolve_impl(impl)
+    if impl == "planar":
+        from . import planar as pl_ops
+
+        dp = data if _is_planar(data) else pl_ops.to_planar(_host(data))
+        return pl_ops.spectral_bound_planar(dp, sk, iters=iters)
     if key is None:
         key = jax.random.PRNGKey(0)
     N = sk.n_sites
     v = jax.random.normal(key, (N, BLOCK, 1), dtype=data.dtype)
     return float(_power_iteration(data, sk, v, iters, impl)) * 1.05
+
+
+def _is_planar(arr, base_ndim: int = 4) -> bool:
+    return (
+        arr.ndim == base_ndim + 1
+        and arr.shape[0] == 2
+        and not np.iscomplexobj(arr)
+    )
+
+
+def _host(arr) -> np.ndarray:
+    return arr if isinstance(arr, np.ndarray) else np.asarray(arr)
+
+
+def _host_dtype(data) -> np.dtype:
+    return np.dtype(data.dtype)
+
+
+def rademacher_probes(N, samples, key, dtype, default_seed=42) -> np.ndarray:
+    """Deterministic host-side Rademacher probes ``[N, 4, samples]``.
+
+    Built in NumPy (device backends need not support complex RNG) and
+    shared by the single-device and sharded trace estimators so identical
+    keys give identical estimates.
+    """
+    seed = default_seed if key is None else int(np.sum(np.asarray(key))) & 0x7FFFFFFF
+    rng = np.random.default_rng(seed)
+    z = 2.0 * rng.integers(0, 2, size=(N, BLOCK, samples)) - 1.0
+    return z.astype(dtype)
 
 
 @partial(jax.jit, static_argnames=("sk", "iters", "impl"))
@@ -142,8 +190,16 @@ def _moments_scan_packed(b_packed, v0_packed, sk: Skeleton, inv_scale, order: in
     return _doubled_moment_scan(H, inner, v0_packed, order)
 
 
-def moments(data, sk: Skeleton, v0, order: int, scale: float, impl: str = "stencil"):
+def moments(data, sk: Skeleton, v0, order: int, scale: float, impl: str = None):
     """Chebyshev moments of H/scale against probe vectors ``v0: [N, 4, K]``."""
+    impl = _resolve_impl(impl)
+    if impl == "planar":
+        from . import planar as pl_ops
+
+        dp = data if _is_planar(data) else pl_ops.to_planar(_host(data))
+        vp = v0 if _is_planar(v0, base_ndim=3) else pl_ops.to_planar(_host(v0))
+        inv = jnp.asarray(1.0 / scale, dtype=jnp.float32)
+        return pl_ops.moments_planar(dp, sk, vp, inv, order)
     inv = jnp.asarray(1.0 / scale, dtype=jnp.real(jnp.zeros((), data.dtype)).dtype)
     if impl == "pallas":
         from .pallas_spmm import pack_operator, pack_vector, supported
@@ -212,7 +268,7 @@ def ldos_kpm(
     kernel: str = "jackson",
     scale: Optional[float] = None,
     eta: Optional[float] = None,
-    impl: str = "stencil",
+    impl: str = None,
 ) -> np.ndarray:
     """Local density of states at one site via KPM.
 
@@ -226,6 +282,7 @@ def ldos_kpm(
     reproduces the resolvent at ε+iη — the direct analog of the
     reference's broadened sparse solve.
     """
+    impl = _resolve_impl(impl)
     if scale is None:
         scale = spectral_bound(data, sk, impl=impl)
     if eta is not None:
@@ -235,8 +292,11 @@ def ldos_kpm(
     order = order or DEFAULT_ORDER
 
     N = sk.n_sites
-    v0 = jnp.zeros((N, BLOCK, BLOCK), dtype=data.dtype)
-    v0 = v0.at[site_index, jnp.arange(BLOCK), jnp.arange(BLOCK)].set(1.0)
+    # Probes built host-side: planar backends must not run complex device
+    # scatters, and a one-hot build is free on the host anyway.
+    dtype = np.complex64 if _is_planar(data) else _host_dtype(data)
+    v0 = np.zeros((N, BLOCK, BLOCK), dtype=dtype)
+    v0[site_index, np.arange(BLOCK), np.arange(BLOCK)] = 1.0
 
     mu = moments(data, sk, v0, order, scale, impl=impl)  # [order, 4]
     energies = np.array(energies, dtype=float)
@@ -255,7 +315,7 @@ def ldos_kpm_sites(
     kernel: str = "jackson",
     scale: Optional[float] = None,
     eta: Optional[float] = None,
-    impl: str = "stencil",
+    impl: str = None,
 ) -> np.ndarray:
     """Batched KPM LDOS for many sites in one moment sweep.
 
@@ -264,6 +324,7 @@ def ldos_kpm_sites(
     Returns ``[n_sites, n_energies]`` (electron component, as in
     :func:`ldos_kpm`).
     """
+    impl = _resolve_impl(impl)
     if scale is None:
         scale = spectral_bound(data, sk, impl=impl)
     if eta is not None:
@@ -276,9 +337,10 @@ def ldos_kpm_sites(
     n_sites = len(site_indices)
     N = sk.n_sites
     K = BLOCK * n_sites
-    v0 = jnp.zeros((N, BLOCK, K), dtype=data.dtype)
+    dtype = np.complex64 if _is_planar(data) else _host_dtype(data)
+    v0 = np.zeros((N, BLOCK, K), dtype=dtype)
     cols = np.arange(K)
-    v0 = v0.at[np.repeat(site_indices, BLOCK), np.tile(np.arange(BLOCK), n_sites), cols].set(1.0)
+    v0[np.repeat(site_indices, BLOCK), np.tile(np.arange(BLOCK), n_sites), cols] = 1.0
 
     mu = moments(data, sk, v0, order, scale, impl=impl)  # [order, 4·n_sites]
     energies = np.array(energies, dtype=float)
@@ -298,7 +360,7 @@ def dos_kpm(
     eta: Optional[float] = None,
     samples: Optional[int] = 16,
     key=None,
-    impl: str = "stencil",
+    impl: str = None,
 ) -> np.ndarray:
     """Total density of states Tr δ(ε−H) via KPM.
 
@@ -308,6 +370,7 @@ def dos_kpm(
     vectors give an unbiased stochastic estimate.  Counts all 4N Nambu⊗Spin
     orbitals (particle-hole symmetric around ε = 0).
     """
+    impl = _resolve_impl(impl)
     if scale is None:
         scale = spectral_bound(data, sk, impl=impl)
     if eta is not None:
@@ -317,14 +380,12 @@ def dos_kpm(
     order = order or DEFAULT_ORDER
 
     N = sk.n_sites
+    dtype = np.complex64 if _is_planar(data) else _host_dtype(data)
     if samples is None:
-        v0 = jnp.eye(N * BLOCK, dtype=data.dtype).reshape(N, BLOCK, N * BLOCK)
+        v0 = np.eye(N * BLOCK, dtype=dtype).reshape(N, BLOCK, N * BLOCK)
         norm = 1.0
     else:
-        if key is None:
-            key = jax.random.PRNGKey(1)
-        rdtype = jnp.real(jnp.zeros((), data.dtype)).dtype
-        v0 = jax.random.rademacher(key, (N, BLOCK, samples), dtype=rdtype).astype(data.dtype)
+        v0 = rademacher_probes(N, samples, key, dtype, default_seed=1)
         norm = 1.0 / samples
 
     mu = moments(data, sk, v0, order, scale, impl=impl)  # [order, K]
@@ -368,7 +429,7 @@ def trace_function(
     samples: Optional[int] = None,
     key=None,
     kernel: str = "jackson",
-    impl: str = "stencil",
+    impl: str = None,
 ) -> float:
     """Tr fn(H) by Chebyshev expansion.
 
@@ -377,22 +438,35 @@ def trace_function(
     Hutchinson estimator with ``samples`` Rademacher vectors is used —
     unbiased, with O(1/√samples) stochastic error.
     """
+    impl = _resolve_impl(impl)
     coeffs = chebyshev_coefficients(lambda x: fn(scale * x), order)
     coeffs = coeffs * _KERNELS[kernel](order)
+    N = sk.n_sites
+
+    dtype = np.complex64 if _is_planar(data) else _host_dtype(data)
+    if samples is None:
+        probes = np.eye(N * BLOCK, dtype=dtype).reshape(N, BLOCK, N * BLOCK)
+        norm = 1.0
+    else:
+        probes = rademacher_probes(N, samples, key, dtype)
+        norm = 1.0 / samples
+
+    if impl == "planar":
+        from . import planar as pl_ops
+
+        dp = data if _is_planar(data) else pl_ops.to_planar(_host(data))
+        zp = pl_ops.to_planar(probes)
+        inv = jnp.asarray(1.0 / scale, dtype=jnp.float32)
+        est = pl_ops.trace_fn_planar(
+            dp, sk, zp, jnp.asarray(coeffs.astype(np.float32)), inv, order
+        )
+        return float(est) * norm
+
     coeffs = jnp.asarray(coeffs)
     rdtype = jnp.real(jnp.zeros((), data.dtype)).dtype
     inv = jnp.asarray(1.0 / scale, dtype=rdtype)
-    N = sk.n_sites
-
-    if samples is None:
-        probes = jnp.eye(N * BLOCK, dtype=data.dtype).reshape(N, BLOCK, N * BLOCK)
-        return float(_trace_fn_scan(data, sk, probes, coeffs, inv, order, impl))
-
-    if key is None:
-        key = jax.random.PRNGKey(42)
-    z = jax.random.rademacher(key, (N, BLOCK, samples), dtype=rdtype).astype(data.dtype)
-    est = _trace_fn_scan(data, sk, z, coeffs, inv, order, impl)
-    return float(est) / samples
+    est = _trace_fn_scan(data, sk, jnp.asarray(probes), coeffs, inv, order, impl)
+    return float(est) * norm
 
 
 def free_energy_kpm(
@@ -403,7 +477,7 @@ def free_energy_kpm(
     samples: Optional[int] = None,
     key=None,
     scale: Optional[float] = None,
-    impl: str = "stencil",
+    impl: str = None,
 ) -> float:
     """Landau free energy F = U − T·S without diagonalization.
 

@@ -75,10 +75,22 @@ class PackedStencil:
 
 
 def pack_operator(data, sk: Skeleton):
-    """ELL block data ``[N, S, 4, 4]`` → packed ``[Lx, 2·S·16, P]`` float32."""
+    """ELL block data ``[N, S, 4, 4]`` → packed ``[Lx, 2·S·16, P]`` float32.
+
+    Host NumPy input is split into re/im planes on the host — the packed
+    path must never put a complex buffer on backends without complex
+    support (the point of the packed representation).
+    """
     Lx, Ly, Lz = sk.shape
     S = sk.n_slots
     P = _round_up(Ly * Lz, 128)
+    if isinstance(data, np.ndarray):
+        d = data.reshape(Lx, Ly * Lz, S, BLOCK, BLOCK)
+        d = np.moveaxis(d, 1, -1)
+        out = np.zeros((Lx, 2, S, BLOCK, BLOCK, P), dtype=np.float32)
+        out[:, 0, ..., : Ly * Lz] = d.real
+        out[:, 1, ..., : Ly * Lz] = d.imag
+        return jnp.asarray(out.reshape(Lx, 2 * S * BLOCK * BLOCK, P))
     d = data.reshape(Lx, Ly * Lz, S, BLOCK, BLOCK)
     d = jnp.moveaxis(d, 1, -1)  # [Lx, S, 4, 4, plane]
     out = jnp.zeros((Lx, 2, S, BLOCK, BLOCK, P), dtype=jnp.float32)
@@ -92,6 +104,12 @@ def pack_vector(v, sk: Skeleton):
     Lx, Ly, Lz = sk.shape
     K = v.shape[-1]
     P = _round_up(Ly * Lz, 128)
+    if isinstance(v, np.ndarray):
+        v3 = np.moveaxis(v.reshape(Lx, Ly * Lz, BLOCK, K), 1, -1)
+        out = np.zeros((Lx, 2, BLOCK, K, P), dtype=np.float32)
+        out[:, 0, ..., : Ly * Lz] = v3.real
+        out[:, 1, ..., : Ly * Lz] = v3.imag
+        return jnp.asarray(out.reshape(Lx, 2 * BLOCK * K, P))
     v3 = v.reshape(Lx, Ly * Lz, BLOCK, K)
     v3 = jnp.moveaxis(v3, 1, -1)  # [Lx, 4, K, plane]
     out = jnp.zeros((Lx, 2, BLOCK, K, P), dtype=jnp.float32)

@@ -243,10 +243,10 @@ def free_energy_kpm_sharded(
     rdtype = jnp.real(jnp.zeros((), data.dtype)).dtype
     inv = jnp.asarray(1.0 / scale, dtype=rdtype)
 
-    if key is None:
-        key = jax.random.PRNGKey(42)
     N = rs.sk.n_sites
-    z = jax.random.rademacher(key, (N, BLOCK, samples), dtype=rdtype).astype(data.dtype)
+    from ..ops.chebyshev import rademacher_probes
+
+    z = jnp.asarray(rademacher_probes(N, samples, key, np.dtype(data.dtype)))
     z = rs.shard_vector(z)
     est = _trace_sharded_jit(rs, data, z, coeffs, inv, order)
     return 0.5 * float(est) / samples
