@@ -231,22 +231,33 @@ def bench_assembly(L=1024, W=1024):
             "native_tier": native.available(), "reference_s_at_1M": 133.9}
 
 
-def bench_diagonalize(sizes=(64, 100)):
-    """Build + dense diagonalize wall-clock (BASELINE.json headline config:
-    100×100 s-wave).  Tries each lattice size and reports the ones that fit
-    on-chip; the 100×100 case is a 40 000×40 000 dense eigh — at the edge
-    of a single v5e's HBM in complex64 (SURVEY §7 'hard parts' #2)."""
+def bench_diagonalize(sizes=(48, 64)):
+    """Build + dense diagonalize wall-clock (BASELINE.json headline config
+    is 100×100 s-wave; on a single v5e the real-symmetric embedding of that
+    case is an 80 000² f32 matrix — beyond one chip's HBM, so the largest
+    on-chip sizes are reported).  First call includes the (remote, slow)
+    eigh compile; the warm number is the hardware wall-clock."""
     out = []
     for L in sizes:
         try:
             t0 = time.perf_counter()
             lattice, system = build_swave(L)
+            t_build = time.perf_counter() - t0
+            t0 = time.perf_counter()
             E = system.eigenvalues()
-            t_total = time.perf_counter() - t0
+            t_cold = time.perf_counter() - t0
             assert E.shape[0] == 2 * lattice.size
             gap = float(E.min())
-            log(f"[diag] {L}×{L}: build+eigvalsh in {t_total:.2f} s (gap {gap:.4f})")
-            out.append({"L": L, "time_s": t_total, "dim": 4 * lattice.size, "gap": gap})
+            # Warm timing: invalidate the spectrum cache, keep the compile.
+            system._version += 1
+            system._dev_cache = None
+            t0 = time.perf_counter()
+            E = system.eigenvalues()
+            t_warm = time.perf_counter() - t0
+            log(f"[diag] {L}×{L}: build {t_build:.2f} s; eigvalsh cold "
+                f"{t_cold:.1f} s / warm {t_warm:.2f} s (gap {gap:.4f})")
+            out.append({"L": L, "build_s": t_build, "eig_cold_s": t_cold,
+                        "eig_warm_s": t_warm, "dim": 4 * lattice.size, "gap": gap})
         except Exception as e:
             log(f"[diag] {L}×{L} failed: {type(e).__name__}: {str(e)[:120]}")
             out.append({"L": L, "error": str(e)[:200]})
