@@ -103,3 +103,62 @@ def test_row_sharding_validation():
     lattice, system = build_system((6, 4, 1))  # 6 not divisible by 8
     with pytest.raises(ValueError):
         RowSharding(system.skeleton, mesh)
+
+
+def test_sharded_planar_spmm_matches_complex():
+    """The planar f32 sharded SpMM (the TPU-pod form) matches the complex one."""
+    from bodge_tpu.ops.planar import from_planar, to_planar
+
+    mesh = eight_device_mesh()
+    lattice, system = build_system((16, 6, 1), pbc=True)
+    rs = RowSharding(system.skeleton, mesh)
+
+    rng = np.random.default_rng(4)
+    v = (rng.normal(size=(lattice.size, 4, 3))
+         + 1j * rng.normal(size=(lattice.size, 4, 3))).astype(np.complex64)
+
+    want = np.asarray(spmm_stencil(jnp.asarray(system.host_data()), system.skeleton, jnp.asarray(v)))
+    dp = rs.shard_data(np.asarray(to_planar(system.host_data())))
+    vp = rs.shard_vector(np.asarray(to_planar(v)))
+    got = from_planar(spmm_sharded(rs, dp, vp))
+    assert np.allclose(got, want, atol=1e-4)
+
+
+def test_sharded_planar_moments_match_complex():
+    from bodge_tpu.ops.planar import to_planar
+
+    mesh = eight_device_mesh()
+    lattice, system = build_system((16, 6, 1), pbc=True)
+    rs = RowSharding(system.skeleton, mesh)
+    sk = system.skeleton
+    a = kpm.spectral_bound(system.host_data(), sk, impl="stencil")
+
+    N = lattice.size
+    v0 = np.zeros((N, 4, 4), dtype=system.dtype)
+    v0[lattice[(8, 3, 0)], np.arange(4), np.arange(4)] = 1.0
+
+    order = 64
+    mu_single = np.asarray(kpm.moments(system.host_data(), sk, v0, order, a, impl="stencil"))
+    dp = rs.shard_data(np.asarray(to_planar(system.host_data())))
+    vp = rs.shard_vector(np.asarray(to_planar(v0)))
+    mu_planar = np.asarray(moments_sharded(rs, dp, vp, order, a))
+    assert np.allclose(mu_planar, mu_single, atol=2e-4)
+
+
+def test_sharded_planar_free_energy_matches_complex():
+    from bodge_tpu.ops.planar import to_planar
+
+    mesh = eight_device_mesh()
+    lattice, system = build_system((16, 4, 1))
+    rs = RowSharding(system.skeleton, mesh)
+    sk = system.skeleton
+    a = kpm.spectral_bound(system.host_data(), sk, impl="stencil")
+
+    T, order, samples = 0.3, 128, 8
+    key = jax.random.PRNGKey(7)
+    F_c = free_energy_kpm_sharded(
+        rs, rs.shard_data(system.host_data()), T, a, order=order, samples=samples, key=key
+    )
+    dp = rs.shard_data(np.asarray(to_planar(system.host_data())))
+    F_p = free_energy_kpm_sharded(rs, dp, T, a, order=order, samples=samples, key=key)
+    assert np.isclose(F_p, F_c, rtol=2e-4, atol=1e-3)
