@@ -114,9 +114,9 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil"):
             return out[0, 0, 0, 0]
 
     elif impl == "pallas":
-        from bodge_tpu.ops.pallas_spmm import pack_operator, pack_vector, spmm_pallas_packed
+        from bodge_tpu.ops.pallas_spmm import chebyshev_step_pallas, pack_operator, pack_vector
 
-        b_packed = pack_operator(system.data, sk)
+        b_packed = pack_operator(system.host_data(), sk)
         v0p = pack_vector(v0, sk)
         inv = jnp.asarray(0.1, jnp.float32)
 
@@ -124,7 +124,7 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil"):
         def scan_spmm(data, v, inv, n):
             def step(carry, _):
                 t_prev, t_cur = carry
-                t_next = 2.0 * (spmm_pallas_packed(data, t_cur, sk, K) * inv) - t_prev
+                t_next, _pp = chebyshev_step_pallas(data, t_cur, t_prev, inv, sk, K)
                 return (t_cur, t_next), None
 
             (_, out), _ = jax.lax.scan(step, (v, v), None, length=n)

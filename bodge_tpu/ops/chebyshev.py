@@ -200,8 +200,24 @@ def moments(data, sk: Skeleton, v0, order: int, scale: float, impl: str = None):
         vp = v0 if _is_planar(v0, base_ndim=3) else pl_ops.to_planar(_host(v0))
         inv = jnp.asarray(1.0 / scale, dtype=jnp.float32)
         return pl_ops.moments_planar(dp, sk, vp, inv, order)
-    inv = jnp.asarray(1.0 / scale, dtype=jnp.real(jnp.zeros((), data.dtype)).dtype)
     if impl == "pallas":
+        from .pallas_spmm import (
+            moments_pallas_fused,
+            pack_operator,
+            pack_vector,
+            supported,
+        )
+
+        if supported(sk):
+            K = v0.shape[-1]
+            b_packed = pack_operator(data, sk)
+            v0_packed = pack_vector(v0, sk)
+            return moments_pallas_fused(
+                b_packed, v0_packed, sk, jnp.float32(1.0 / scale), order, K
+            )
+        impl = "stencil"
+    inv = jnp.asarray(1.0 / scale, dtype=jnp.real(jnp.zeros((), data.dtype)).dtype)
+    if impl == "pallas_unfused":
         from .pallas_spmm import pack_operator, pack_vector, supported
 
         if supported(sk):

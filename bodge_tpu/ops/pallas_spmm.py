@@ -229,6 +229,167 @@ def spmm_pallas_packed(b_packed, v_packed, sk: Skeleton, K: int):
     )(b_packed, v_packed, v_packed, v_packed)
 
 
+def _chebyshev_step_kernel(
+    sk: Skeleton, K: int, P: int, b_ref, vm_ref, vc_ref, vp_ref, tp_ref, inv_ref,
+    y_ref, pp_ref
+):
+    """One x-plane of a fused Chebyshev step + moment partials.
+
+    Computes ``t_next = 2·inv·(H t_cur) − t_prev`` for the plane AND the
+    plane's contributions to the doubled-moment inner products
+    ``⟨t_cur, t_cur⟩`` and ``⟨t_next, t_cur⟩`` — so a KPM moment sweep needs
+    no additional reads of the vectors outside this kernel.
+    """
+    Lx, Ly, Lz = sk.shape
+    S = sk.n_slots
+
+    b = b_ref[0].reshape(2, S, BLOCK, BLOCK, P)
+    vc = vc_ref[0].reshape(2, BLOCK, K, P)
+    vm = vm_ref[0].reshape(2, BLOCK, K, P)
+    vp = vp_ref[0].reshape(2, BLOCK, K, P)
+    tp = tp_ref[0].reshape(2, BLOCK, K, P)
+    inv = inv_ref[0, 0]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+
+    def roll_lanes(x, shift):
+        return pltpu.roll(x, shift % P, 1)
+
+    def shifted_plane(v, axis, d):
+        flat = v.reshape(2 * BLOCK * K, P)
+        if axis == 1:
+            main = roll_lanes(flat, -d * Lz)
+            wrap = roll_lanes(flat, d * (Ly - 1) * Lz)
+            boundary = (col >= (Ly - 1) * Lz) if d > 0 else (col < Lz)
+        else:
+            main = roll_lanes(flat, -d)
+            wrap = roll_lanes(flat, d * (Lz - 1))
+            boundary = (col % Lz == Lz - 1) if d > 0 else (col % Lz == 0)
+        out = jnp.where(boundary, wrap, main)
+        return out.reshape(2, BLOCK, K, P)
+
+    acc_re = jnp.zeros((BLOCK, K, P), dtype=jnp.float32)
+    acc_im = jnp.zeros((BLOCK, K, P), dtype=jnp.float32)
+
+    for s, (axis, d) in enumerate(sk.slots):
+        if axis < 0:
+            src = vc
+        elif axis == 0:
+            src = vp if d > 0 else vm
+        else:
+            src = shifted_plane(vc, axis, d)
+
+        br, bi = b[0, s], b[1, s]
+        sr, si = src[0], src[1]
+        acc_re = acc_re + jnp.sum(
+            br[:, :, None, :] * sr[None, :, :, :] - bi[:, :, None, :] * si[None, :, :, :],
+            axis=1,
+        )
+        acc_im = acc_im + jnp.sum(
+            br[:, :, None, :] * si[None, :, :, :] + bi[:, :, None, :] * sr[None, :, :, :],
+            axis=1,
+        )
+
+    t_next = jnp.stack(
+        [2.0 * inv * acc_re - tp[0], 2.0 * inv * acc_im - tp[1]]
+    )  # [2, 4, K, P]
+    y_ref[...] = t_next.reshape(1, 2 * BLOCK * K, P)
+
+    # Moment partials for this plane: rows 0..K-1 = ⟨t_cur,t_cur⟩ per probe,
+    # rows K..2K-1 = ⟨t_next,t_cur⟩ per probe (zero-padded lanes contribute 0).
+    cc = jnp.sum(vc[0] * vc[0] + vc[1] * vc[1], axis=(0, 2))  # [K]
+    nc = jnp.sum(t_next[0] * vc[0] + t_next[1] * vc[1], axis=(0, 2))  # [K]
+    pp = jnp.zeros((1, 1, 128), dtype=jnp.float32)
+    pp = pp.at[0, 0, :K].set(cc).at[0, 0, K : 2 * K].set(nc)
+    pp_ref[...] = pp
+
+
+@functools.partial(jax.jit, static_argnames=("sk", "K"))
+def chebyshev_step_pallas(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
+    """Fused packed Chebyshev step: returns ``(t_next, partials[Lx, 2K])``.
+
+    ``partials[:, :K].sum(0)`` = ⟨t_cur,t_cur⟩ and ``partials[:, K:].sum(0)``
+    = ⟨t_next,t_cur⟩ per probe column — the two reductions the doubled-
+    moment recursion needs, at zero extra HBM traffic.
+    """
+    Lx, Ly, Lz = sk.shape
+    S = sk.n_slots
+    P = b_packed.shape[-1]
+
+    grid = (Lx,)
+    b_spec = pl.BlockSpec((1, 2 * S * 16, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vm_spec = pl.BlockSpec(
+        (1, 2 * BLOCK * K, P), lambda i: ((i - 1) % Lx, 0, 0), memory_space=pltpu.VMEM
+    )
+    vc_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vp_spec = pl.BlockSpec(
+        (1, 2 * BLOCK * K, P), lambda i: ((i + 1) % Lx, 0, 0), memory_space=pltpu.VMEM
+    )
+    tp_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    inv_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    out_specs = (
+        pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+
+    bytes_moved = (b_packed.size + 3 * t_cur.size + 2 * t_prev.size) * 4
+    inv_arr = jnp.asarray(inv, jnp.float32).reshape(1, 1)
+    t_next, pp = pl.pallas_call(
+        functools.partial(_chebyshev_step_kernel, sk, K, P),
+        grid=grid,
+        in_specs=[b_spec, vm_spec, vc_spec, vp_spec, tp_spec, inv_spec],
+        out_specs=out_specs,
+        out_shape=(
+            jax.ShapeDtypeStruct(t_cur.shape, jnp.float32),
+            jax.ShapeDtypeStruct((Lx, 1, 128), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sk.nnz_blocks * BLOCK * BLOCK * K * 4,
+            bytes_accessed=bytes_moved,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(b_packed, t_cur, t_cur, t_cur, t_prev, inv_arr)
+    return t_next, pp.reshape(Lx, 128)[:, : 2 * K]
+
+
+@functools.partial(jax.jit, static_argnames=("sk", "order", "K"))
+def moments_pallas_fused(b_packed, v0_packed, sk: Skeleton, inv, order: int, K: int):
+    """KPM moments with the fused step kernel: per Chebyshev order, ONE
+    kernel pass computes t_next and both inner products — the minimum-
+    traffic formulation of the doubled-moment recursion."""
+    Lx = v0_packed.shape[0]
+    P = v0_packed.shape[-1]
+
+    def inner(a, b):
+        a4 = a.reshape(Lx, 2, BLOCK, K, P)
+        b4 = b.reshape(Lx, 2, BLOCK, K, P)
+        return jnp.sum(a4 * b4, axis=(0, 1, 2, 4))
+
+    inv_f = jnp.asarray(inv, jnp.float32)
+    t0 = v0_packed
+    t1, _ = chebyshev_step_pallas(b_packed, t0, jnp.zeros_like(t0), 0.5 * inv_f, sk, K)
+    mu0 = inner(v0_packed, t0)
+    mu1 = inner(v0_packed, t1)
+
+    steps = max(0, (order - 2 + 1) // 2)
+    if steps == 0:
+        return jnp.stack([mu0, mu1])[:order]
+
+    def step(carry, _):
+        t_prev, t_cur = carry
+        t_next, pp = chebyshev_step_pallas(b_packed, t_cur, t_prev, inv_f, sk, K)
+        cc = jnp.sum(pp[:, :K], axis=0)
+        nc = jnp.sum(pp[:, K:], axis=0)
+        alpha = 2.0 * cc - mu0
+        beta = 2.0 * nc - mu1
+        return (t_cur, t_next), (alpha, beta)
+
+    (_, _), (alphas, betas) = jax.lax.scan(step, (t0, t1), None, length=steps)
+    rest = jnp.stack([alphas, betas], axis=1).reshape(2 * steps, K)
+    return jnp.concatenate([mu0[None], mu1[None], rest], axis=0)[:order]
+
+
 def spmm_pallas(data, sk: Skeleton, v):
     """Drop-in SpMM via the Pallas kernel (packs/unpacks per call).
 

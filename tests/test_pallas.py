@@ -98,3 +98,45 @@ def test_pallas_unsupported_fallback():
     got = np.asarray(pk.spmm_pallas(system.data, sk, v))
     want = np.asarray(spmm_stencil(system.data, sk, v))
     assert np.allclose(got, want)
+
+
+def test_fused_chebyshev_step_moments_match_stencil():
+    """The fused step kernel (t_next + in-kernel inner products) reproduces
+    the complex stencil moment scan."""
+    import numpy as np
+    import jax.numpy as jnp
+    from bodge_tpu import CubicLattice, Hamiltonian, jσ2, σ0
+    from bodge_tpu.ops import chebyshev as kpm
+    from bodge_tpu.ops.blocksparse import BLOCK
+    from bodge_tpu.ops.pallas_spmm import (
+        moments_pallas_fused,
+        pack_operator,
+        pack_vector,
+    )
+
+    lattice = CubicLattice((10, 8, 1))
+    system = Hamiltonian(lattice, dtype=np.complex64)
+    system.assemble(
+        onsite=lambda ci: -0.5 * σ0,
+        pairing_onsite=lambda ci: 0.4 * jσ2,
+        hopping=lambda ci, cj: np.where(
+            (np.abs(ci - cj).max(axis=1) == 1)[:, None, None], -1.0 * σ0, 0
+        ),
+    )
+    sk = system.skeleton
+    N = lattice.size
+    a = kpm.spectral_bound(system.host_data(), sk, impl="stencil")
+
+    K = 4
+    v0 = np.zeros((N, BLOCK, K), np.complex64)
+    v0[N // 2, np.arange(K) % BLOCK, np.arange(K)] = 1.0
+
+    order = 32
+    want = np.asarray(kpm.moments(system.host_data(), sk, v0, order, a, impl="stencil"))
+
+    b_packed = pack_operator(system.host_data(), sk)
+    v0p = pack_vector(v0, sk)
+    got = np.asarray(
+        moments_pallas_fused(b_packed, v0p, sk, jnp.float32(1.0 / a), order, K)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4)
