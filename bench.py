@@ -116,7 +116,7 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil"):
     elif impl == "pallas":
         from bodge_tpu.ops.pallas_spmm import chebyshev_step_pallas, pack_operator, pack_vector
 
-        b_packed = pack_operator(system.host_data(), sk)
+        b_packed = pack_operator(system.host_data(), sk, K)
         v0p = pack_vector(v0, sk)
         inv = jnp.asarray(0.1, jnp.float32)
 

@@ -174,15 +174,10 @@ def _moments_scan_packed(b_packed, v0_packed, sk: Skeleton, inv_scale, order: in
     in packed space equal the unpacked ones exactly; the operator is packed
     once per sweep instead of once per SpMM.
     """
-    from .pallas_spmm import spmm_pallas_packed
-
-    Lx = v0_packed.shape[0]
-    P = v0_packed.shape[-1]
+    from .pallas_spmm import _packed_inner, spmm_pallas_packed
 
     def inner(a, b):
-        a4 = a.reshape(Lx, 2, BLOCK, K, P)
-        b4 = b.reshape(Lx, 2, BLOCK, K, P)
-        return jnp.sum(a4 * b4, axis=(0, 1, 2, 4))
+        return _packed_inner(a, b, sk, K)
 
     def H(v):
         return spmm_pallas_packed(b_packed, v, sk, K) * inv_scale
@@ -208,9 +203,9 @@ def moments(data, sk: Skeleton, v0, order: int, scale: float, impl: str = None):
             supported,
         )
 
-        if supported(sk):
-            K = v0.shape[-1]
-            b_packed = pack_operator(data, sk)
+        K = v0.shape[-1]
+        if supported(sk, K):
+            b_packed = pack_operator(data, sk, K)
             v0_packed = pack_vector(v0, sk)
             return moments_pallas_fused(
                 b_packed, v0_packed, sk, jnp.float32(1.0 / scale), order, K
@@ -220,9 +215,9 @@ def moments(data, sk: Skeleton, v0, order: int, scale: float, impl: str = None):
     if impl == "pallas_unfused":
         from .pallas_spmm import pack_operator, pack_vector, supported
 
-        if supported(sk):
-            K = v0.shape[-1]
-            b_packed = pack_operator(data, sk)
+        K = v0.shape[-1]
+        if supported(sk, K):
+            b_packed = pack_operator(data, sk, K)
             v0_packed = pack_vector(v0, sk)
             return _moments_scan_packed(
                 b_packed, v0_packed, sk, jnp.asarray(inv, jnp.float32), order, K

@@ -1,40 +1,42 @@
-"""Pallas TPU kernel for the block-stencil SpMM.
+"""Pallas TPU kernels for the block-stencil SpMM.
 
 This is the hand-scheduled native tier of the framework (the reference has
 no native code to mirror — SURVEY §2; Pallas kernels are this environment's
 equivalent).  Motivation: the XLA roll-einsum stencil
 (:func:`bodge_tpu.ops.spmm.spmm_stencil`) re-reads the operand vector once
-per slot (up to 7×); this kernel streams the block data once and the
-operand ~3× (previous/current/next x-plane), cutting HBM traffic — the
-binding resource, since 4×4 blocks are far below MXU size and the kernel
-is bandwidth-bound by construction.
+per slot (up to 7×); these kernels stream the block data exactly once —
+the binding resource, since 4×4 blocks are far below MXU size and the
+kernel is bandwidth-bound by construction.
 
-Design
-------
-- **Packed layout.**  Complex data is split into float32 re/im planes and
-  laid out with the lattice plane dimension last (lanes):
-  ``B: [Lx, 2·S·16, P]``, ``v: [Lx, 2·4·K, P]`` with ``P = pad(Ly·Lz, 128)``.
-  Packing happens once per operator (and once per Chebyshev *sweep*, not
-  per step) — inner products are invariant under the packing permutation
-  and its zero padding, so whole KPM scans can run in packed space.
-- **Grid over x-planes.**  Program *i* receives the block plane for x=i
-  plus the operand planes for x−1, x, x+1 (index maps with modular wrap:
-  the ring wrap *is* the periodic boundary link; open boundaries have zero
-  wrap blocks, annihilating the halo contribution).
-- **In-plane shifts.**  ±y (and ±z) neighbor access is a lane roll plus a
-  boundary-select against the wrap roll, so periodic wrap stays exact
-  under zero padding.
-- **Complex arithmetic** is four real broadcast-FMA streams on the VPU.
+Two layouts, chosen automatically per (skeleton, K) by :func:`plan`:
 
-Currently specialized to 2D lattices (Lz == 1, the headline benchmark
-shape); other shapes fall back to the XLA stencil via :func:`supported`.
+- **Flat resident-vector layout** (primary, small/medium N).  The operand
+  is packed as float32 re/im rows over a single *flat site-index lane
+  axis*: ``v: [2·4·K, L]`` with guard bands, and the block data as
+  ``B: [2·S·16, nb·T]``.  The whole vector stays VMEM-resident across the
+  grid (constant index map); the grid streams B in lane chunks of ``T``.
+  Every stencil neighbor is a dynamic lane-slice of the resident vector at
+  offset ±1/±Lz/±Ly·Lz, with periodic wrap handled by masked slices at the
+  wrap offset.  Properties: zero lane padding beyond one 128-tile, B read
+  exactly once, operand read ~once, works for any lattice shape (1D/2D/3D,
+  open or periodic).  HBM traffic per pass ≈ ``|B| + 3·|v|`` (Chebyshev
+  step) — the minimum the recursion admits.
+- **Plane layout** (fallback, large N).  Lanes = one x-plane padded to 128
+  (``P = pad(Ly·Lz)``), grid over x-planes, halo planes via modular index
+  maps, in-plane neighbors via lane rolls.  Used when the vector no longer
+  fits in VMEM.
+
+Complex arithmetic is four real broadcast-FMA streams on the VPU.
+Inner products are invariant under both packings (permutation + zero
+padding), so whole KPM scans run in packed space; packing costs one pass
+per *sweep*, not per step.
 """
 
 from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -50,40 +52,375 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def supported(sk: Skeleton) -> bool:
-    """Whether the Pallas kernel covers this skeleton.
+def _interpret() -> bool:
+    # Mosaic compiles only on TPU; elsewhere (CPU parity tests) run kernels
+    # in the interpreter for bit-level validation.
+    return jax.default_backend() != "tpu"
 
-    Requires the cubic stencil structure, ≥2 x-planes (the grid axis) and a
-    non-trivial in-plane extent (1D chains fall back to the XLA stencil —
-    a 1-lane plane would waste 127/128 of the VPU).
+
+# ===========================================================================
+# Layout planning.
+# ===========================================================================
+# VMEM is ~16 MiB/core; keep the resident vector well under half so the
+# streamed B chunks can double-buffer comfortably.
+FLAT_VECTOR_VMEM_MAX = 7 * 2**20
+FLAT_CHUNK = 2048  # lane-chunk target for the flat layout
+# Mosaic's default scoped-VMEM limit is a conservative 16 MiB; the flat
+# kernel's resident vector is double-buffered by the pipeline, so allow more.
+VMEM_LIMIT = 32 * 2**20
+
+
+@dataclass(frozen=True)
+class Layout:
+    """Packing plan for a (skeleton, K) pair."""
+
+    mode: str  # "flat" | "planes"
+    K: int
+    # Flat-mode parameters.
+    T: int = 0  # lane chunk
+    G: int = 0  # guard lanes each side (multiple of T)
+    nb: int = 0  # grid size (lane chunks)
+    L: int = 0  # total lanes of the packed vector
+    # Plane-mode parameter.
+    P: int = 0  # padded plane size
+
+
+def plan(sk: Skeleton, K: int) -> Optional[Layout]:
+    """Choose the kernel layout for this skeleton and probe count."""
+    if not sk.stencil:
+        return None
+    Lx, Ly, Lz = sk.shape
+    N = sk.n_sites
+    M = Ly * Lz
+
+    T = min(FLAT_CHUNK, _round_up(N, 128))
+    if M <= T:
+        nb = -(-N // T)
+        G = 2 * T  # ≥ T + M: every masked wrap slice stays in range
+        L = nb * T + 2 * G
+        v_bytes = 2 * BLOCK * K * L * 4
+        if v_bytes <= FLAT_VECTOR_VMEM_MAX:
+            return Layout(mode="flat", K=K, T=T, G=G, nb=nb, L=L)
+
+    if Lx > 1 and M > 1:
+        return Layout(mode="planes", K=K, P=_round_up(M, 128))
+    return None
+
+
+def supported(sk: Skeleton, K: int = 4) -> bool:
+    """Whether a Pallas kernel covers this skeleton (at probe count K)."""
+    return plan(sk, K) is not None
+
+
+# ===========================================================================
+# Flat layout: packing.
+# ===========================================================================
+def _pack_operator_flat(data, sk: Skeleton, lo: Layout):
+    """ELL block data ``[N, S, 4, 4]`` → ``[2·S·16, nb·T]`` float32."""
+    N, S = sk.cols.shape
+    W = lo.nb * lo.T
+    if isinstance(data, np.ndarray):
+        d = np.moveaxis(data, 0, -1)  # [S, 4, 4, N]
+        out = np.zeros((2, S, BLOCK, BLOCK, W), dtype=np.float32)
+        out[0, ..., :N] = d.real
+        out[1, ..., :N] = d.imag
+        return jnp.asarray(out.reshape(2 * S * BLOCK * BLOCK, W))
+    d = jnp.moveaxis(data, 0, -1)
+    out = jnp.zeros((2, S, BLOCK, BLOCK, W), dtype=jnp.float32)
+    out = out.at[0, ..., :N].set(jnp.real(d).astype(jnp.float32))
+    out = out.at[1, ..., :N].set(jnp.imag(d).astype(jnp.float32))
+    return out.reshape(2 * S * BLOCK * BLOCK, W)
+
+
+def _pack_vector_flat(v, sk: Skeleton, lo: Layout):
+    """Operand ``[N, 4, K]`` complex → ``[4·2·K, L]`` float32 (guarded).
+
+    Row order is **orbital-major** ``(b, re/im, k)``: the kernel's inner
+    FMAs then address one orbital's ``[2K, T]`` slice as contiguous,
+    8-aligned sublanes — the layout that lets every multiply-accumulate be
+    a same-shape vreg op (the VPU's full-rate path).
+    """
+    N = sk.n_sites
+    K = v.shape[-1]
+    G, L = lo.G, lo.L
+    if isinstance(v, np.ndarray):
+        vv = np.moveaxis(v, 0, -1)  # [4, K, N]
+        out = np.zeros((BLOCK, 2, K, L), dtype=np.float32)
+        out[:, 0, :, G : G + N] = vv.real
+        out[:, 1, :, G : G + N] = vv.imag
+        return jnp.asarray(out.reshape(BLOCK * 2 * K, L))
+    vv = jnp.moveaxis(v, 0, -1)
+    out = jnp.zeros((BLOCK, 2, K, L), dtype=jnp.float32)
+    out = out.at[:, 0, :, G : G + N].set(jnp.real(vv).astype(jnp.float32))
+    out = out.at[:, 1, :, G : G + N].set(jnp.imag(vv).astype(jnp.float32))
+    return out.reshape(BLOCK * 2 * K, L)
+
+
+def _unpack_vector_flat(vp, sk: Skeleton, K: int, dtype, lo: Layout):
+    # Host-side when concrete: complex arithmetic is unsupported on some
+    # TPU backends (the packed representation exists precisely to avoid it
+    # on device).  Under a jit trace, stay in jnp.
+    N = sk.n_sites
+    xp = jnp if isinstance(vp, jax.core.Tracer) else np
+    v = (vp if xp is jnp else np.asarray(vp)).reshape(BLOCK, 2, K, lo.L)
+    v = v[..., lo.G : lo.G + N]
+    cplx = v[:, 0].astype(dtype) + 1j * v[:, 1].astype(dtype)
+    return xp.moveaxis(cplx, -1, 0).astype(dtype)  # [N, 4, K]
+
+
+# ===========================================================================
+# Flat layout: kernels.
+# ===========================================================================
+def _flat_sources(sk: Skeleton, lo: Layout, v_ref, i):
+    """Yield (slot, src) pairs: the stencil-shifted operand per slot.
+
+    Mosaic requires lane-slice starts to be provably 128-aligned, so all
+    reads are *aligned* dynamic windows (block-index × T) combined with
+    *static* in-window offsets:
+
+    - one 3T window centred on the chunk serves the diagonal, every main
+      shift, and the y/z periodic wraps (all offsets are within ±M ≤ T);
+    - each x periodic wrap (offset ±(Lx−1)·M, far outside the window) is
+      an aligned 2T window at the statically-known residue.
+
+    Periodic wrap is a masked select; open boundaries need no special
+    case — their wrap blocks are structural zeros, so whatever the main
+    slice reads there is annihilated.  Guard bands (G = 2T ≥ T + M) keep
+    every window in range; the block-index clip is belt-and-braces for
+    don't-care chunks far from a boundary.
     """
     Lx, Ly, Lz = sk.shape
-    return sk.stencil and Lx > 1 and Ly * Lz > 1
+    M = Ly * Lz
+    T, G, L = lo.T, lo.G, lo.L
+    Lb = L // T
+    g = G // T
+
+    # Aligned T windows around this chunk; all in-window shifts are then
+    # cheap lane rolls + boundary selects (measured ~free on the VPU,
+    # unlike unaligned lane slices, which relayout catastrophically).
+    prv = v_ref[:, pl.ds((i - 1) * T, T)]
+    vc = v_ref[:, pl.ds(i * T, T)]
+    nxt = v_ref[:, pl.ds((i + 1) * T, T)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    p = (i - g) * T + lane  # global site id per lane
+
+    def shifted(off):
+        """Values at site p+off (static |off| ≤ T): roll + neighbor spill."""
+        if off == 0:
+            return vc
+        if off > 0:
+            main = pltpu.roll(vc, T - off, 1)
+            spill = pltpu.roll(nxt, T - off, 1)
+            return jnp.where(lane < T - off, main, spill)
+        o = -off
+        main = pltpu.roll(vc, o, 1)
+        spill = pltpu.roll(prv, o, 1)
+        return jnp.where(lane >= o, main, spill)
+
+    def far(off_w):
+        """Values at site p+off_w for arbitrary static off_w: aligned 2T
+        window + in-window roll by the static residue."""
+        r = off_w % T
+        blocks = jnp.clip(i + (off_w - r) // T, 0, Lb - 2)
+        win = v_ref[:, pl.ds(blocks * T, 2 * T)]
+        return pltpu.roll(win, (2 * T - r) % (2 * T), 1)[:, :T]
+
+    for s, (axis, d) in enumerate(sk.slots):
+        if axis < 0:  # diagonal
+            yield s, vc
+            continue
+        if axis == 0:
+            main = shifted(d * M)
+            wrap = far(-d * (Lx - 1) * M)
+            mask = (p >= (Lx - 1) * M) if d > 0 else (p < M)
+        elif axis == 1:
+            main = shifted(d * Lz)
+            wrap = shifted(-d * (Ly - 1) * Lz)
+            q = p % M
+            mask = (q >= (Ly - 1) * Lz) if d > 0 else (q < Lz)
+        else:
+            main = shifted(d)
+            wrap = shifted(-d * (Lz - 1))
+            q = p % Lz
+            mask = (q == Lz - 1) if d > 0 else (q == 0)
+        yield s, jnp.where(mask, wrap, main)
 
 
-@dataclass(frozen=True, eq=False)
-class PackedStencil:
-    """Host-side metadata for the packed kernel layout."""
+def _flat_matvec(sk: Skeleton, lo: Layout, b_ref, v_ref, i):
+    """acc = (H v) for one lane chunk.
 
-    sk: Skeleton
-    K: int
-    P: int  # padded plane size (lanes)
+    Returns (``accs``: list of BLOCK arrays ``[2K, T]`` — output rows per
+    orbital ``a`` in (re/im, k) order — and ``vc``: the chunk's own operand
+    values ``[4·2K, T]``).
 
-    @property
-    def shape3(self) -> Tuple[int, int, int]:
-        return self.sk.shape
+    Formulation: every B entry is one sublane row ``[1, T]`` broadcast
+    against the orbital slice ``u = v[b] : [2K, T]`` — the [1,T]-row
+    broadcast is free on the VPU, and both FMAs are full-rate same-shape
+    vreg ops.  The complex cross terms come from one signed half-swap of
+    ``u`` per (slot, b): ``usw = [−x_im; x_re]``, so
 
-
-def pack_operator(data, sk: Skeleton):
-    """ELL block data ``[N, S, 4, 4]`` → packed ``[Lx, 2·S·16, P]`` float32.
-
-    Host NumPy input is split into re/im planes on the host — the packed
-    path must never put a complex buffer on backends without complex
-    support (the point of the packed representation).
+        acc_a += Re(B[a,b])·u + Im(B[a,b])·usw
+               = [Re(B)x_re − Im(B)x_im ; Re(B)x_im + Im(B)x_re]  ✓
     """
+    S = sk.n_slots
+    K, T = lo.K, lo.T
+    bb = b_ref[...]  # [2·S·16, T]; row = ri·(16S) + s·16 + a·4 + c
+
+    accs = [jnp.zeros((2 * K, T), dtype=jnp.float32) for _ in range(BLOCK)]
+    vc = None
+    for s, src in _flat_sources(sk, lo, v_ref, i):
+        if s == 0:
+            vc = src
+        sv = src.reshape(BLOCK, 2 * K, T)
+        for c in range(BLOCK):
+            u = sv[c]  # [2K, T] = [x_re(K); x_im(K)]
+            usw = jnp.concatenate([-u[K:], u[:K]], axis=0)
+            for a in range(BLOCK):
+                wr = bb[s * 16 + a * BLOCK + c][None]  # [1, T]
+                wi = bb[16 * S + s * 16 + a * BLOCK + c][None]
+                accs[a] = accs[a] + wr * u + wi * usw
+    return accs, vc
+
+
+def _flat_spmm_kernel(sk: Skeleton, lo: Layout, b_ref, v_ref, y_ref):
+    # The grid covers the guard blocks too (zero-filled): every block of the
+    # output buffer must be written, or uninitialized guard memory (possibly
+    # NaN bit patterns) would poison downstream packed inner products.
+    i = pl.program_id(0)
+    g = lo.G // lo.T
+    is_guard = jnp.logical_or(i < g, i >= lo.nb + g)
+
+    @pl.when(is_guard)
+    def _():
+        y_ref[...] = jnp.zeros(y_ref.shape, jnp.float32)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        accs, _ = _flat_matvec(sk, lo, b_ref, v_ref, i)
+        y_ref[...] = jnp.concatenate(accs, axis=0)  # rows (a, re/im, k)
+
+
+def _flat_cheb_kernel(sk: Skeleton, lo: Layout, b_ref, v_ref, tp_ref, inv_ref, y_ref, pp_ref):
+    """Fused Chebyshev step + per-chunk moment partials.
+
+    ``t_next = 2·inv·(H t_cur) − t_prev`` for the chunk AND the chunk's
+    contributions to ⟨t_cur,t_cur⟩ / ⟨t_next,t_cur⟩ — so a KPM moment
+    sweep needs no reads of the vectors outside this kernel.
+    """
+    K, T = lo.K, lo.T
+    i = pl.program_id(0)
+    g = lo.G // T
+    is_guard = jnp.logical_or(i < g, i >= lo.nb + g)
+
+    @pl.when(is_guard)
+    def _():
+        y_ref[...] = jnp.zeros(y_ref.shape, jnp.float32)
+        pp_ref[...] = jnp.zeros(pp_ref.shape, jnp.float32)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        accs, vc = _flat_matvec(sk, lo, b_ref, v_ref, i)
+        tp = tp_ref[...].reshape(BLOCK, 2 * K, T)
+        inv = inv_ref[0, 0]
+        two_inv = 2.0 * inv
+        t_next = jnp.concatenate(
+            [two_inv * accs[a] - tp[a] for a in range(BLOCK)], axis=0
+        )  # [4·2K, T], rows (a, re/im, k)
+        y_ref[...] = t_next
+
+        v4 = vc.reshape(BLOCK, 2, K, T)
+        n4 = t_next.reshape(BLOCK, 2, K, T)
+        cc = jnp.sum(v4 * v4, axis=(0, 1, 3))  # [K]  ⟨t_cur,t_cur⟩
+        nc = jnp.sum(n4 * v4, axis=(0, 1, 3))  # [K]  ⟨t_next,t_cur⟩
+        # Lane-concat instead of .at[].set — scatter has no Mosaic lowering.
+        pp_ref[...] = jnp.concatenate(
+            [cc.reshape(1, K), nc.reshape(1, K), jnp.zeros((1, 128 - 2 * K), jnp.float32)],
+            axis=1,
+        ).reshape(1, 1, 128)
+
+
+def _flat_specs(sk: Skeleton, lo: Layout):
+    S = sk.n_slots
+    K, T, G, nb = lo.K, lo.T, lo.G, lo.nb
+    g = G // T  # guard blocks each side
+
+    # Guard grid steps clamp to an adjacent interior B block — consecutive
+    # duplicate indices are not re-fetched, so the zero-fill steps are free.
+    def b_map(i):
+        return (0, jnp.clip(i - g, 0, nb - 1))
+
+    b_spec = pl.BlockSpec((2 * S * 16, T), b_map, memory_space=pltpu.VMEM)
+    # Constant index map: the operand vector is fetched once and stays
+    # VMEM-resident across the whole grid.
+    v_spec = pl.BlockSpec((2 * BLOCK * K, lo.L), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    # Grid step i handles lane block i of the guarded array directly
+    # (interior blocks are g..g+nb−1, guard blocks are zero-filled).
+    chunk_spec = pl.BlockSpec((2 * BLOCK * K, T), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return b_spec, v_spec, chunk_spec
+
+
+@functools.partial(jax.jit, static_argnames=("sk", "K"))
+def _flat_spmm(b_packed, v_packed, sk: Skeleton, K: int):
+    lo = plan(sk, K)
+    b_spec, v_spec, chunk_spec = _flat_specs(sk, lo)
+    bytes_moved = (b_packed.size + 2 * v_packed.size) * 4
+    return pl.pallas_call(
+        functools.partial(_flat_spmm_kernel, sk, lo),
+        grid=(lo.L // lo.T,),
+        in_specs=[b_spec, v_spec],
+        out_specs=chunk_spec,
+        out_shape=jax.ShapeDtypeStruct(v_packed.shape, jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sk.nnz_blocks * BLOCK * BLOCK * K * 4,
+            bytes_accessed=bytes_moved,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
+    )(b_packed, v_packed)
+
+
+@functools.partial(jax.jit, static_argnames=("sk", "K"))
+def _flat_cheb_step(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
+    lo = plan(sk, K)
+    n_steps = lo.L // lo.T
+    b_spec, v_spec, chunk_spec = _flat_specs(sk, lo)
+    inv_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    pp_spec = pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    inv_arr = jnp.asarray(inv, jnp.float32).reshape(1, 1)
+    bytes_moved = (b_packed.size + 3 * t_cur.size) * 4
+    t_next, pp = pl.pallas_call(
+        functools.partial(_flat_cheb_kernel, sk, lo),
+        grid=(n_steps,),
+        in_specs=[b_spec, v_spec, chunk_spec, inv_spec],
+        out_specs=(chunk_spec, pp_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(t_cur.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, 1, 128), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sk.nnz_blocks * BLOCK * BLOCK * K * 4,
+            bytes_accessed=bytes_moved,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
+    )(b_packed, t_cur, t_prev, inv_arr)
+    return t_next, pp.reshape(n_steps, 128)[:, : 2 * K]
+
+
+# ===========================================================================
+# Plane layout (fallback for vectors too large to keep VMEM-resident).
+# ===========================================================================
+def _pack_operator_planes(data, sk: Skeleton, lo: Layout):
+    """ELL block data ``[N, S, 4, 4]`` → packed ``[Lx, 2·S·16, P]`` float32."""
     Lx, Ly, Lz = sk.shape
     S = sk.n_slots
-    P = _round_up(Ly * Lz, 128)
+    P = lo.P
     if isinstance(data, np.ndarray):
         d = data.reshape(Lx, Ly * Lz, S, BLOCK, BLOCK)
         d = np.moveaxis(d, 1, -1)
@@ -99,11 +436,11 @@ def pack_operator(data, sk: Skeleton):
     return out.reshape(Lx, 2 * S * BLOCK * BLOCK, P)
 
 
-def pack_vector(v, sk: Skeleton):
+def _pack_vector_planes(v, sk: Skeleton, lo: Layout):
     """Operand ``[N, 4, K]`` complex → packed ``[Lx, 2·4·K, P]`` float32."""
     Lx, Ly, Lz = sk.shape
     K = v.shape[-1]
-    P = _round_up(Ly * Lz, 128)
+    P = lo.P
     if isinstance(v, np.ndarray):
         v3 = np.moveaxis(v.reshape(Lx, Ly * Lz, BLOCK, K), 1, -1)
         out = np.zeros((Lx, 2, BLOCK, K, P), dtype=np.float32)
@@ -118,21 +455,21 @@ def pack_vector(v, sk: Skeleton):
     return out.reshape(Lx, 2 * BLOCK * K, P)
 
 
-def unpack_vector(vp, sk: Skeleton, K: int, dtype):
-    """Inverse of :func:`pack_vector`."""
+def _unpack_vector_planes(vp, sk: Skeleton, K: int, dtype, lo: Layout):
     Lx, Ly, Lz = sk.shape
     P = vp.shape[-1]
-    v = vp.reshape(Lx, 2, BLOCK, K, P)[..., : Ly * Lz]
-    v = jnp.moveaxis(v, -1, 1)  # [Lx, plane, 2, 4, K]
+    xp = jnp if isinstance(vp, jax.core.Tracer) else np
+    v = (vp if xp is jnp else np.asarray(vp)).reshape(Lx, 2, BLOCK, K, P)
+    v = v[..., : Ly * Lz]
+    v = xp.moveaxis(v, -1, 1)  # [Lx, plane, 2, 4, K]
     cplx = v[:, :, 0].astype(dtype) + 1j * v[:, :, 1].astype(dtype)
     return cplx.reshape(Lx * Ly * Lz, BLOCK, K).astype(dtype)
 
 
-def _stencil_kernel(sk: Skeleton, K: int, P: int, b_ref, vm_ref, vc_ref, vp_ref, y_ref):
+def _plane_stencil_kernel(sk: Skeleton, K: int, P: int, b_ref, vm_ref, vc_ref, vp_ref, y_ref):
     """One x-plane of the stencil product, all slots, complex via re/im."""
     Lx, Ly, Lz = sk.shape
     S = sk.n_slots
-    n_real = Ly * Lz  # == Ly for the 2D specialization
 
     b = b_ref[0].reshape(2, S, BLOCK, BLOCK, P)
     vc = vc_ref[0].reshape(2, BLOCK, K, P)
@@ -194,7 +531,7 @@ def _stencil_kernel(sk: Skeleton, K: int, P: int, b_ref, vm_ref, vc_ref, vp_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("sk", "K"))
-def spmm_pallas_packed(b_packed, v_packed, sk: Skeleton, K: int):
+def _plane_spmm(b_packed, v_packed, sk: Skeleton, K: int):
     """Packed-layout stencil SpMM: ``[Lx, 2·4K, P] → [Lx, 2·4K, P]``."""
     Lx, Ly, Lz = sk.shape
     S = sk.n_slots
@@ -213,7 +550,7 @@ def spmm_pallas_packed(b_packed, v_packed, sk: Skeleton, K: int):
 
     bytes_moved = (b_packed.size + 4 * v_packed.size) * 4
     return pl.pallas_call(
-        functools.partial(_stencil_kernel, sk, K, P),
+        functools.partial(_plane_stencil_kernel, sk, K, P),
         grid=grid,
         in_specs=[b_spec, vm_spec, vc_spec, vp_spec],
         out_specs=out_spec,
@@ -223,13 +560,11 @@ def spmm_pallas_packed(b_packed, v_packed, sk: Skeleton, K: int):
             bytes_accessed=bytes_moved,
             transcendentals=0,
         ),
-        # Mosaic compiles only on TPU; elsewhere (CPU parity tests) run the
-        # kernel in the interpreter for bit-level validation.
-        interpret=jax.default_backend() != "tpu",
+        interpret=_interpret(),
     )(b_packed, v_packed, v_packed, v_packed)
 
 
-def _chebyshev_step_kernel(
+def _plane_cheb_kernel(
     sk: Skeleton, K: int, P: int, b_ref, vm_ref, vc_ref, vp_ref, tp_ref, inv_ref,
     y_ref, pp_ref
 ):
@@ -305,13 +640,8 @@ def _chebyshev_step_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("sk", "K"))
-def chebyshev_step_pallas(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
-    """Fused packed Chebyshev step: returns ``(t_next, partials[Lx, 2K])``.
-
-    ``partials[:, :K].sum(0)`` = ⟨t_cur,t_cur⟩ and ``partials[:, K:].sum(0)``
-    = ⟨t_next,t_cur⟩ per probe column — the two reductions the doubled-
-    moment recursion needs, at zero extra HBM traffic.
-    """
+def _plane_cheb_step(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
+    """Fused packed Chebyshev step: returns ``(t_next, partials[Lx, 2K])``."""
     Lx, Ly, Lz = sk.shape
     S = sk.n_slots
     P = b_packed.shape[-1]
@@ -335,7 +665,7 @@ def chebyshev_step_pallas(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
     bytes_moved = (b_packed.size + 3 * t_cur.size + 2 * t_prev.size) * 4
     inv_arr = jnp.asarray(inv, jnp.float32).reshape(1, 1)
     t_next, pp = pl.pallas_call(
-        functools.partial(_chebyshev_step_kernel, sk, K, P),
+        functools.partial(_plane_cheb_kernel, sk, K, P),
         grid=grid,
         in_specs=[b_spec, vm_spec, vc_spec, vp_spec, tp_spec, inv_spec],
         out_specs=out_specs,
@@ -348,9 +678,80 @@ def chebyshev_step_pallas(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
             bytes_accessed=bytes_moved,
             transcendentals=0,
         ),
-        interpret=jax.default_backend() != "tpu",
+        interpret=_interpret(),
     )(b_packed, t_cur, t_cur, t_cur, t_prev, inv_arr)
     return t_next, pp.reshape(Lx, 128)[:, : 2 * K]
+
+
+# ===========================================================================
+# Public entry points (layout-dispatching).
+# ===========================================================================
+def pack_operator(data, sk: Skeleton, K: int = 4):
+    """ELL block data ``[N, S, 4, 4]`` → packed float32 kernel layout.
+
+    Host NumPy input is split into re/im planes on the host — the packed
+    path must never put a complex buffer on backends without complex
+    support (the point of the packed representation).  ``K`` selects the
+    layout plan and must match the probe count used for the vectors.
+    """
+    lo = plan(sk, K)
+    if lo.mode == "flat":
+        return _pack_operator_flat(data, sk, lo)
+    return _pack_operator_planes(data, sk, lo)
+
+
+def pack_vector(v, sk: Skeleton):
+    """Operand ``[N, 4, K]`` complex → packed float32 kernel layout."""
+    lo = plan(sk, int(v.shape[-1]))
+    if lo.mode == "flat":
+        return _pack_vector_flat(v, sk, lo)
+    return _pack_vector_planes(v, sk, lo)
+
+
+def unpack_vector(vp, sk: Skeleton, K: int, dtype):
+    """Inverse of :func:`pack_vector`."""
+    lo = plan(sk, K)
+    if lo.mode == "flat":
+        return _unpack_vector_flat(vp, sk, K, dtype, lo)
+    return _unpack_vector_planes(vp, sk, K, dtype, lo)
+
+
+def spmm_pallas_packed(b_packed, v_packed, sk: Skeleton, K: int):
+    """Packed-layout stencil SpMM (same packed layout in and out)."""
+    lo = plan(sk, K)
+    if lo.mode == "flat":
+        return _flat_spmm(b_packed, v_packed, sk, K)
+    return _plane_spmm(b_packed, v_packed, sk, K)
+
+
+def chebyshev_step_pallas(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
+    """Fused packed Chebyshev step: ``(t_next, partials[chunks, 2K])``.
+
+    ``partials[:, :K].sum(0)`` = ⟨t_cur,t_cur⟩ and ``partials[:, K:].sum(0)``
+    = ⟨t_next,t_cur⟩ per probe column — the two reductions the doubled-
+    moment recursion needs, at zero extra HBM traffic.
+    """
+    lo = plan(sk, K)
+    if lo.mode == "flat":
+        return _flat_cheb_step(b_packed, t_cur, t_prev, inv, sk, K)
+    return _plane_cheb_step(b_packed, t_cur, t_prev, inv, sk, K)
+
+
+def _packed_inner(a, b, sk: Skeleton, K: int):
+    """⟨a, b⟩ per probe column in packed space (invariant under packing).
+
+    Guard/pad lanes of ``b`` must be zero (true for any packed vector);
+    ``a``'s guards may hold garbage (kernel outputs leave them unwritten).
+    """
+    lo = plan(sk, K)
+    if lo.mode == "flat":
+        a4 = a.reshape(BLOCK, 2, K, lo.L)
+        b4 = b.reshape(BLOCK, 2, K, lo.L)
+        return jnp.sum(a4 * b4, axis=(0, 1, 3))
+    Lx = a.shape[0]
+    a4 = a.reshape(Lx, 2, BLOCK, K, lo.P)
+    b4 = b.reshape(Lx, 2, BLOCK, K, lo.P)
+    return jnp.sum(a4 * b4, axis=(0, 1, 2, 4))
 
 
 @functools.partial(jax.jit, static_argnames=("sk", "order", "K"))
@@ -358,19 +759,13 @@ def moments_pallas_fused(b_packed, v0_packed, sk: Skeleton, inv, order: int, K: 
     """KPM moments with the fused step kernel: per Chebyshev order, ONE
     kernel pass computes t_next and both inner products — the minimum-
     traffic formulation of the doubled-moment recursion."""
-    Lx = v0_packed.shape[0]
-    P = v0_packed.shape[-1]
-
-    def inner(a, b):
-        a4 = a.reshape(Lx, 2, BLOCK, K, P)
-        b4 = b.reshape(Lx, 2, BLOCK, K, P)
-        return jnp.sum(a4 * b4, axis=(0, 1, 2, 4))
-
     inv_f = jnp.asarray(inv, jnp.float32)
     t0 = v0_packed
-    t1, _ = chebyshev_step_pallas(b_packed, t0, jnp.zeros_like(t0), 0.5 * inv_f, sk, K)
-    mu0 = inner(v0_packed, t0)
-    mu1 = inner(v0_packed, t1)
+    # The half-scaled first step gives t1 = H̃ t0 AND, via the in-kernel
+    # partials, μ0 = ⟨t0,t0⟩ and μ1 = ⟨t1,t0⟩ for free.
+    t1, pp0 = chebyshev_step_pallas(b_packed, t0, jnp.zeros_like(t0), 0.5 * inv_f, sk, K)
+    mu0 = jnp.sum(pp0[:, :K], axis=0)
+    mu1 = jnp.sum(pp0[:, K:], axis=0)
 
     steps = max(0, (order - 2 + 1) // 2)
     if steps == 0:
@@ -397,12 +792,12 @@ def spmm_pallas(data, sk: Skeleton, v):
     :func:`pack_vector` once and call :func:`spmm_pallas_packed` inside the
     loop instead — packing costs one pass over the data.
     """
-    if not supported(sk):
-        from .spmm import spmm_stencil
+    K = int(v.shape[-1])
+    if plan(sk, K) is None:
+        from .spmm import spmm
 
-        return spmm_stencil(data, sk, v)
-    K = v.shape[-1]
-    b_packed = pack_operator(data, sk)
+        return spmm(data, sk, v, impl="stencil")  # gather for non-stencil sk
+    b_packed = pack_operator(data, sk, K)
     v_packed = pack_vector(v, sk)
     y_packed = spmm_pallas_packed(b_packed, v_packed, sk, K)
     return unpack_vector(y_packed, sk, K, data.dtype)

@@ -88,16 +88,43 @@ def test_pack_roundtrip():
     assert np.isclose(ip_packed, ip_plain, rtol=1e-6)
 
 
-def test_pallas_unsupported_fallback():
-    lattice = CubicLattice((6, 1, 1))  # 1D chain: 1-lane plane, XLA fallback
-    system = Hamiltonian(lattice)
-    system.assemble(onsite=lambda ci: 2.0 * σ0)
+def test_pallas_1d_chain_flat_layout():
+    # 1D chains are handled by the flat resident-vector layout (the plane
+    # layout cannot: a 1-lane plane would waste 127/128 of the VPU).
+    lattice, system = random_system((16, 1, 1), pbc=True)
     sk = system.skeleton
+    assert pk.plan(sk, 2).mode == "flat"
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(
+        (rng.normal(size=(lattice.size, 4, 2)) + 1j * rng.normal(size=(lattice.size, 4, 2))).astype(
+            np.complex64
+        )
+    )
+    got = np.asarray(pk.spmm_pallas(system.data.astype(jnp.complex64), sk, v))
+    want = np.asarray(spmm_stencil(system.data.astype(jnp.complex64), sk, v))
+    assert np.allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_pallas_unsupported_fallback():
+    # Non-stencil (generic) skeletons fall back to the XLA path.
+    from bodge_tpu.ops.blocksparse import skeleton_from_pairs
+
+    rows = np.array([0, 0, 1, 1, 2, 2, 0, 2])
+    cols = np.array([0, 1, 0, 1, 2, 0, 2, 1])
+    # make structurally symmetric
+    rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
+    sk = skeleton_from_pairs(3, rows, cols)
     assert not pk.supported(sk)
-    v = jnp.ones((lattice.size, 4, 2), dtype=system.dtype)
-    got = np.asarray(pk.spmm_pallas(system.data, sk, v))
-    want = np.asarray(spmm_stencil(system.data, sk, v))
-    assert np.allclose(got, want)
+    rng = np.random.default_rng(4)
+    data = (rng.normal(size=(3, sk.n_slots, 4, 4)) * sk.valid[..., None, None]).astype(
+        np.complex64
+    )
+    v = jnp.ones((3, 4, 2), dtype=np.complex64)
+    from bodge_tpu.ops.spmm import spmm_gather
+
+    got = np.asarray(pk.spmm_pallas(jnp.asarray(data), sk, v))
+    want = np.asarray(spmm_gather(jnp.asarray(data), sk, v))
+    assert np.allclose(got, want, atol=1e-5)
 
 
 def test_fused_chebyshev_step_moments_match_stencil():
@@ -134,7 +161,7 @@ def test_fused_chebyshev_step_moments_match_stencil():
     order = 32
     want = np.asarray(kpm.moments(system.host_data(), sk, v0, order, a, impl="stencil"))
 
-    b_packed = pack_operator(system.host_data(), sk)
+    b_packed = pack_operator(system.host_data(), sk, K)
     v0p = pack_vector(v0, sk)
     got = np.asarray(
         moments_pallas_fused(b_packed, v0p, sk, jnp.float32(1.0 / a), order, K)
