@@ -128,7 +128,9 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil"):
                 return (t_cur, t_next), None
 
             (_, out), _ = jax.lax.scan(step, (v, v), None, length=n)
-            return out[0, 0, 0]
+            # Layout-agnostic scalar dependency (flat layout is 2-D,
+            # plane layout 3-D).
+            return out.ravel()[0]
 
         operand, vec = b_packed, v0p
     else:
@@ -155,7 +157,14 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil"):
 
     log(f"[spmm:{impl}] compiling scan (L={L}, order={order}, K={K}, {dtype})...")
     # Two-point slope: cancels dispatch/relay constants (async backend).
-    t_step = time_iterated(make_run, order // 4, order)
+    # The device is shared (observed ±40% load noise across minute-scale
+    # windows), so the slope is estimated several times — each estimate
+    # samples its two points back-to-back — and the minimum is kept.  A
+    # wide iteration span (order vs 4·order) keeps the per-step figure
+    # insensitive to relay jitter at the ms scale.
+    t_step = min(
+        time_iterated(make_run, order, 4 * order, repeats=3) for _ in range(4)
+    )
 
     # Escalate the iteration count if the figure is implausible (relay
     # stalls can corrupt short measurements).

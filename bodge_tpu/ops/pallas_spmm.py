@@ -300,12 +300,22 @@ def _flat_spmm_kernel(sk: Skeleton, lo: Layout, b_ref, v_ref, y_ref):
         y_ref[...] = jnp.concatenate(accs, axis=0)  # rows (a, re/im, k)
 
 
+def _pp_rows(K: int) -> int:
+    """Sublane rows of the per-chunk moment-partial output (8-aligned)."""
+    return _round_up(2 * K, 8)
+
+
 def _flat_cheb_kernel(sk: Skeleton, lo: Layout, b_ref, v_ref, tp_ref, inv_ref, y_ref, pp_ref):
     """Fused Chebyshev step + per-chunk moment partials.
 
     ``t_next = 2·inv·(H t_cur) − t_prev`` for the chunk AND the chunk's
     contributions to ⟨t_cur,t_cur⟩ / ⟨t_next,t_cur⟩ — so a KPM moment
     sweep needs no reads of the vectors outside this kernel.
+
+    The partials stay *per-lane* (``[2K, T]`` rows: cc then nc): cross-lane
+    reductions are slow on the VPU, so the final lane sum happens outside
+    the kernel on a tiny array (measured: the in-kernel lane reduction was
+    ~2× the whole kernel's runtime).
     """
     K, T = lo.K, lo.T
     i = pl.program_id(0)
@@ -330,13 +340,11 @@ def _flat_cheb_kernel(sk: Skeleton, lo: Layout, b_ref, v_ref, tp_ref, inv_ref, y
 
         v4 = vc.reshape(BLOCK, 2, K, T)
         n4 = t_next.reshape(BLOCK, 2, K, T)
-        cc = jnp.sum(v4 * v4, axis=(0, 1, 3))  # [K]  ⟨t_cur,t_cur⟩
-        nc = jnp.sum(n4 * v4, axis=(0, 1, 3))  # [K]  ⟨t_next,t_cur⟩
-        # Lane-concat instead of .at[].set — scatter has no Mosaic lowering.
-        pp_ref[...] = jnp.concatenate(
-            [cc.reshape(1, K), nc.reshape(1, K), jnp.zeros((1, 128 - 2 * K), jnp.float32)],
-            axis=1,
-        ).reshape(1, 1, 128)
+        cc = jnp.sum(v4 * v4, axis=(0, 1))  # [K, T] lane partials ⟨t_cur,t_cur⟩
+        nc = jnp.sum(n4 * v4, axis=(0, 1))  # [K, T] lane partials ⟨t_next,t_cur⟩
+        rows = _pp_rows(K)
+        pads = [jnp.zeros((rows - 2 * K, T), jnp.float32)] if rows > 2 * K else []
+        pp_ref[...] = jnp.concatenate([cc, nc] + pads, axis=0).reshape(1, rows, T)
 
 
 def _flat_specs(sk: Skeleton, lo: Layout):
@@ -386,9 +394,10 @@ def _flat_spmm(b_packed, v_packed, sk: Skeleton, K: int):
 def _flat_cheb_step(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
     lo = plan(sk, K)
     n_steps = lo.L // lo.T
+    rows = _pp_rows(K)
     b_spec, v_spec, chunk_spec = _flat_specs(sk, lo)
     inv_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    pp_spec = pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    pp_spec = pl.BlockSpec((1, rows, lo.T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     inv_arr = jnp.asarray(inv, jnp.float32).reshape(1, 1)
     bytes_moved = (b_packed.size + 3 * t_cur.size) * 4
     t_next, pp = pl.pallas_call(
@@ -398,7 +407,7 @@ def _flat_cheb_step(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
         out_specs=(chunk_spec, pp_spec),
         out_shape=(
             jax.ShapeDtypeStruct(t_cur.shape, jnp.float32),
-            jax.ShapeDtypeStruct((n_steps, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, rows, lo.T), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * sk.nnz_blocks * BLOCK * BLOCK * K * 4,
@@ -410,7 +419,8 @@ def _flat_cheb_step(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
             vmem_limit_bytes=VMEM_LIMIT
         ),
     )(b_packed, t_cur, t_prev, inv_arr)
-    return t_next, pp.reshape(n_steps, 128)[:, : 2 * K]
+    # Final lane reduction of the per-lane partials in XLA (tiny array).
+    return t_next, jnp.sum(pp[:, : 2 * K, :], axis=-1)
 
 
 # ===========================================================================
