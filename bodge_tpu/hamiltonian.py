@@ -60,6 +60,20 @@ def use_planar_device_path() -> bool:
         return False
 
 
+def _warn_device_eigh_failure(e: Exception) -> None:
+    """Device eigh can fail through the tunnelled-TPU compile helper (remote
+    HTTP 500s, UNIMPLEMENTED lowerings at large dims).  The solvers stay
+    correct by falling back to host LAPACK; make the degradation visible."""
+    import warnings
+
+    warnings.warn(
+        f"device eigh failed ({type(e).__name__}: {str(e)[:200]}); "
+        "falling back to host LAPACK",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 @functools.lru_cache(maxsize=64)
 def _assemble_kernel(sk, has_onsite, has_pair_onsite, has_hop, has_pair, reset):
     """One jitted device kernel applying all assembly writes for a given
@@ -593,14 +607,18 @@ class Hamiltonian:
         """
         if self._eigh_cache is not None and self._eigh_cache[0] == self._version:
             return self._eigh_cache[1], self._eigh_cache[2]
-        if use_planar_device_path():
-            from .ops import planar as pl_ops
+        try:
+            if use_planar_device_path():
+                from .ops import planar as pl_ops
 
-            E, X = pl_ops.eigh_planar(self.device_operator(), self._sk)
-            E, X = jnp.asarray(E), jnp.asarray(X)
-        else:
-            Hd = self.matrix(format="dense_jnp")
-            E, X = dense_ops._eigh(Hd)
+                E, X = pl_ops.eigh_planar(self.device_operator(), self._sk)
+                E, X = jnp.asarray(E), jnp.asarray(X)
+            else:
+                Hd = self.matrix(format="dense_jnp")
+                E, X = dense_ops._eigh(Hd)
+        except Exception as e:  # device/compile failure → host LAPACK
+            _warn_device_eigh_failure(e)
+            E, X = np.linalg.eigh(self.matrix(format="dense"))
         self._eigh_cache = (self._version, E, X)
         return E, X
 
@@ -630,12 +648,17 @@ class Hamiltonian:
         """Positive eigenvalues only (no eigenvectors)."""
         if self._eigh_cache is not None and self._eigh_cache[0] == self._version:
             E = self._eigh_cache[1]
-        elif use_planar_device_path():
-            from .ops import planar as pl_ops
-
-            E = pl_ops.eigvalsh_planar(self.device_operator(), self._sk)
         else:
-            E = jnp.linalg.eigvalsh(self.matrix(format="dense_jnp"))
+            try:
+                if use_planar_device_path():
+                    from .ops import planar as pl_ops
+
+                    E = pl_ops.eigvalsh_planar(self.device_operator(), self._sk)
+                else:
+                    E = jnp.linalg.eigvalsh(self.matrix(format="dense_jnp"))
+            except Exception as e:  # device/compile failure → host LAPACK
+                _warn_device_eigh_failure(e)
+                E = np.linalg.eigvalsh(self.matrix(format="dense"))
         E = np.asarray(E)
         return E[E.shape[0] // 2 :]
 
