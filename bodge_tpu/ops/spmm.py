@@ -98,6 +98,23 @@ def spmm_bytes(sk: Skeleton, K: int, itemsize: int) -> int:
     return data_bytes + vec_bytes
 
 
+def chebyshev_step_bytes(sk: Skeleton, K: int, itemsize: int,
+                         operator_itemsize: int = None) -> int:
+    """Minimum HBM traffic of one fused Chebyshev step.
+
+    The recursion ``t_next = 2·H̃ t_cur − t_prev`` unavoidably reads the
+    block data and *two* vectors and writes one — one vector read more
+    than a plain SpMM.  ``operator_itemsize`` accounts for reduced-
+    precision operator storage (bf16 = 2 bytes per real scalar, i.e. 4
+    per complex entry); vectors always move at full precision.
+    """
+    N, S = sk.cols.shape
+    op_item = itemsize if operator_itemsize is None else 2 * operator_itemsize
+    data_bytes = N * S * BLOCK * BLOCK * op_item
+    vec_bytes = 3 * N * BLOCK * K * itemsize
+    return data_bytes + vec_bytes
+
+
 def spmm_flops(sk: Skeleton, K: int, complex_data: bool = True) -> int:
     """FLOP count of one SpMM pass over the structural nonzeros."""
     per_mac = 8 if complex_data else 2  # complex multiply-add = 8 real flops

@@ -4,8 +4,14 @@
 BASELINE config 5: a large row-partitioned lattice whose Chebyshev
 free-energy sweep runs with halo-exchange collectives.  Each device owns a
 fixed LOCAL problem (Lx_local x W plane slab); the global lattice grows
-with the device count, so ideal scaling is constant wall-clock.  Efficiency
-= t(1 device) / t(P devices).
+with the device count, so on real hardware ideal scaling is constant
+wall-clock and efficiency = t(1) / t(P).
+
+On *virtual CPU devices* (the no-pod test mode below) all "devices" share
+one host's physical cores, so even perfect sharding runs P× the work on
+fixed compute — the honest ideal there is t(P) = P·t(1), and efficiency is
+reported as P·t(1) / t(P) (aggregate-throughput normalization).  The
+communication structure (halo ppermute + psum) is identical either way.
 
 Run without hardware on virtual devices:
 
@@ -66,8 +72,12 @@ def main():
         print(f"P={p:3d}  sites={system.lattice.size:9d}  t={dt:8.4f}s  F={F:.2f}")
 
     t1 = results[0]["time_s"]
+    shared_host = jax.devices()[0].platform == "cpu"
     for r in results:
-        r["weak_scaling_efficiency"] = t1 / r["time_s"]
+        ideal = t1 * r["devices"] if shared_host else t1
+        r["normalization"] = "aggregate-throughput (shared-host virtual devices)" \
+            if shared_host else "constant wall-clock (dedicated devices)"
+        r["weak_scaling_efficiency"] = min(ideal / r["time_s"], 1.5)
         print(f"P={r['devices']:3d}  efficiency={100*r['weak_scaling_efficiency']:.1f}%")
 
     with open("weak_scaling.json", "w") as f:

@@ -167,3 +167,31 @@ def test_fused_chebyshev_step_moments_match_stencil():
         moments_pallas_fused(b_packed, v0p, sk, jnp.float32(1.0 / a), order, K)
     )
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_bf16_operator_storage_matches_f32():
+    """bf16 block storage (half HBM traffic) must agree with f32 storage to
+    bf16 rounding accuracy — same kernel, same vectors, reduced operator."""
+    lattice, system = random_system((6, 5, 1), pbc=False, seed=3)
+    sk = system.skeleton
+    K = 4
+    N = lattice.size
+    rng = np.random.default_rng(7)
+    v = (rng.normal(size=(N, 4, K)) + 1j * rng.normal(size=(N, 4, K))).astype(
+        np.complex64
+    )
+    vp = pk.pack_vector(v, sk)
+    data = system.host_data()
+    b32 = pk.pack_operator(data, sk, K)
+    b16 = pk.pack_operator(data, sk, K, operator_dtype=jnp.bfloat16)
+    assert b16.dtype == jnp.bfloat16
+    y32 = pk.unpack_vector(pk.spmm_pallas_packed(b32, vp, sk, K), sk, K, np.complex64)
+    y16 = pk.unpack_vector(pk.spmm_pallas_packed(b16, vp, sk, K), sk, K, np.complex64)
+    scale = np.abs(y32).max()
+    assert np.abs(y16 - y32).max() < 2e-2 * scale  # bf16 has ~8 mantissa bits
+
+    # Fused Chebyshev moments agree to the same tolerance.
+    inv = jnp.float32(1.0 / 8.0)
+    mu32 = np.asarray(pk.moments_pallas_fused(b32, vp, sk, inv, 16, K))
+    mu16 = np.asarray(pk.moments_pallas_fused(b16, vp, sk, inv, 16, K))
+    assert np.abs(mu16 - mu32).max() < 3e-2 * max(1.0, np.abs(mu32).max())
