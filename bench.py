@@ -37,7 +37,7 @@ from functools import partial
 
 import numpy as np
 
-SPMM_IMPL = "stencil"
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 def log(msg):
@@ -167,24 +167,33 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil", op_dtype="f32"):
         time_iterated(make_run, order, 4 * order, repeats=3) for _ in range(4)
     )
 
-    # Escalate the iteration count if the figure is implausible (relay
-    # stalls can corrupt short measurements).
     itemsize = np.dtype(dtype).itemsize
     op_itemsize = 2 if op_dtype == "bf16" else None
     step_bytes = chebyshev_step_bytes(sk, K, itemsize, operator_itemsize=op_itemsize)
     frac = step_bytes / t_step / hbm_bw
-    # The tunnelled device is shared: a noisy window can corrupt the
-    # estimate in either direction.  Re-measure and keep the min (the
-    # reference's own min-over-repeats methodology) until plausible.
+    # A figure *above* the roof can only be a timing artifact (relay stalls
+    # corrupting the slope fit) — re-measure with longer spans.  A slow
+    # figure is re-measured at most once; genuinely slow implementations
+    # exist (the planar XLA stencil sits at ~0.5% of roof by design) and
+    # min-over-many-samples would bias them downward (advisor finding).
+    timing_unreliable = False
+    slow_retried = False
     tries = 0
-    while (frac > 1.05 or frac < 0.25) and tries < 3:
+    while frac > 1.05 and tries < 3:
         log(f"[spmm:{impl}] implausible ({100*frac:.0f}% of roof); re-measuring...")
-        t_step = min(t_step, time_iterated(make_run, order, 4 * order, repeats=5))
+        t_step = time_iterated(make_run, order, 4 * order, repeats=5)
         frac = step_bytes / t_step / hbm_bw
         tries += 1
-        if frac > 1.05:  # faster than the roof can only be a timing artifact
-            t_step = max(t_step, step_bytes / hbm_bw)
-            frac = step_bytes / t_step / hbm_bw
+    if frac > 1.05:
+        # Keep the raw measurement — do NOT substitute the roof value; flag
+        # the section instead so a broken timing/traffic model surfaces.
+        log(f"[spmm:{impl}] still {100*frac:.0f}% of roof; flagging timing_unreliable")
+        timing_unreliable = True
+    elif frac < 0.25 and not slow_retried:
+        # One confirmation pass for the slow side (keep the min of two).
+        t_step = min(t_step, time_iterated(make_run, order, 4 * order, repeats=3))
+        frac = step_bytes / t_step / hbm_bw
+        slow_retried = True
 
     nnz_scalars = sk.nnz_blocks * BLOCK * BLOCK
     roof = Roofline(
@@ -209,6 +218,7 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil", op_dtype="f32"):
         "achieved_GBps": roof.achieved_bw / 1e9,
         "hbm_roof_GBps": roof.hbm_bw / 1e9,
         "fraction_of_roof": roof.fraction_of_roof,
+        "timing_unreliable": timing_unreliable,
     }
 
 
@@ -252,21 +262,29 @@ def bench_assembly(L=1024, W=1024):
             "native_tier": native.available(), "reference_s_at_1M": 133.9}
 
 
-def bench_diagonalize(sizes=(48, 64)):
+def bench_diagonalize(sizes=(48, 64, 80)):
     """Build + dense diagonalize wall-clock (BASELINE.json headline config
     is 100×100 s-wave; on a single v5e the real-symmetric embedding of that
     case is an 80 000² f32 matrix — beyond one chip's HBM, so the largest
-    on-chip sizes are reported).  First call includes the (remote, slow)
-    eigh compile; the warm number is the hardware wall-clock."""
+    on-chip sizes are measured live and the 100×100 number is recorded once
+    offline on the host (``_diag_headline.py`` → ``diag_headline.json``) and
+    merged in by the parent).  First call includes the (remote, slow) eigh
+    compile; the warm number is the hardware wall-clock."""
+    import warnings
+
     out = []
     for L in sizes:
         try:
             t0 = time.perf_counter()
             lattice, system = build_swave(L)
             t_build = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            E = system.eigenvalues()
-            t_cold = time.perf_counter() - t0
+            with warnings.catch_warnings(record=True) as caught:
+                warnings.simplefilter("always")
+                t0 = time.perf_counter()
+                E = system.eigenvalues()
+                t_cold = time.perf_counter() - t0
+            fell_back = any("host LAPACK" in str(w.message) for w in caught)
+            backend = "host_lapack_fallback" if fell_back else "device"
             assert E.shape[0] == 2 * lattice.size
             gap = float(E.min())
             # Warm timing: invalidate the spectrum cache, keep the compile.
@@ -276,9 +294,10 @@ def bench_diagonalize(sizes=(48, 64)):
             E = system.eigenvalues()
             t_warm = time.perf_counter() - t0
             log(f"[diag] {L}×{L}: build {t_build:.2f} s; eigvalsh cold "
-                f"{t_cold:.1f} s / warm {t_warm:.2f} s (gap {gap:.4f})")
+                f"{t_cold:.1f} s / warm {t_warm:.2f} s (gap {gap:.4f}, {backend})")
             out.append({"L": L, "build_s": t_build, "eig_cold_s": t_cold,
-                        "eig_warm_s": t_warm, "dim": 4 * lattice.size, "gap": gap})
+                        "eig_warm_s": t_warm, "dim": 4 * lattice.size, "gap": gap,
+                        "backend": backend})
         except Exception as e:
             log(f"[diag] {L}×{L} failed: {type(e).__name__}: {str(e)[:120]}")
             out.append({"L": L, "error": str(e)[:200]})
@@ -369,31 +388,113 @@ def bench_spmm_bf16():
     return res
 
 
+def bench_spmm_sharded(L=200, order=256, K=4):
+    """The row-sharded Pallas plane-kernel path (halo ppermute + fused
+    Chebyshev step) on a mesh over all available devices — on the single
+    tunnelled chip this is shard_map(1), proving the multi-chip code path
+    sustains kernel-level throughput (round-1 gap: the sharded layer only
+    ran the XLA stencil at ~0.5% of roof)."""
+    hbm_bw = hbm_roof_for_device(jax.devices()[0])
+    lattice, system = build_swave(L)
+    sk = system.skeleton
+    dtype = system.dtype
+    N = lattice.size
+
+    from bodge_tpu.parallel import RowSharding, make_row_mesh
+    from bodge_tpu.parallel.pallas_sharded import (
+        chebyshev_scan_sharded,
+        pack_operator_sharded,
+        pack_vector_sharded,
+    )
+
+    n_dev = len(jax.devices())
+    mesh = make_row_mesh(n_dev)
+    rs = RowSharding(sk, mesh)
+
+    v0 = np.zeros((N, BLOCK, K), dtype=dtype)
+    v0[N // 2, np.arange(min(BLOCK, K)) % BLOCK, np.arange(min(BLOCK, K))] = 1.0
+    b_sh = pack_operator_sharded(rs, system.host_data())
+    v_sh = pack_vector_sharded(rs, v0)
+    inv = jnp.asarray(0.1, jnp.float32)
+
+    def make_run(n):
+        def run():
+            out = chebyshev_scan_sharded(rs, b_sh, v_sh, inv, n, K)
+            return float(jnp.sum(out[0, 0]))
+
+        return run
+
+    log(f"[spmm:sharded] compiling shard_map({n_dev}) scan (L={L})...")
+    t_step = min(
+        time_iterated(make_run, order, 4 * order, repeats=3) for _ in range(4)
+    )
+
+    itemsize = np.dtype(dtype).itemsize
+    step_bytes = chebyshev_step_bytes(sk, K, itemsize)
+    frac = step_bytes / t_step / hbm_bw
+    timing_unreliable = False
+    if frac > 1.05:
+        t2 = time_iterated(make_run, order, 4 * order, repeats=5)
+        t_step = t2
+        frac = step_bytes / t_step / hbm_bw
+        if frac > 1.05:
+            timing_unreliable = True
+
+    nnz_scalars = sk.nnz_blocks * BLOCK * BLOCK
+    nnz_per_s = nnz_scalars / t_step
+    log(
+        f"[spmm:sharded] {t_step*1e6:.1f} µs/step → {nnz_per_s/1e9:.2f} Gnnz/s "
+        f"({100*frac:.1f}% of roof, {n_dev} device(s))"
+    )
+    return {
+        "impl": "pallas_sharded",
+        "devices": n_dev,
+        "lattice": [L, L, 1],
+        "order": order,
+        "K": K,
+        "time_per_spmm_s": t_step,
+        "nnz_scalars": nnz_scalars,
+        "nnz_per_s": nnz_per_s,
+        "bytes_per_spmm": step_bytes,
+        "hbm_roof_GBps": hbm_bw / 1e9,
+        "fraction_of_roof": frac,
+        "timing_unreliable": timing_unreliable,
+    }
+
+
 SECTIONS = {
     "device_info": lambda: {
         "device": str(jax.devices()[0]),
         "platform": jax.devices()[0].platform,
         "hbm_roof_GBps_spec": hbm_roof_for_device(jax.devices()[0]) / 1e9,
     },
-    "spmm_main": lambda: bench_spmm_chebyshev(impl="auto"),
     "spmm_pallas": lambda: bench_spmm_chebyshev(impl="pallas"),
     "spmm_pallas_bf16": bench_spmm_bf16,
+    # BASELINE config 5 scale: 1000×1000 (1M sites) naturally selects the
+    # plane layout — the large-N kernel path.
+    "spmm_plane": lambda: bench_spmm_chebyshev(L=1000, order=64, impl="pallas"),
+    "spmm_sharded": lambda: bench_spmm_sharded(),
     "assembly": bench_assembly,
     "diagonalize": bench_diagonalize,
     "kpm_ldos": bench_kpm_ldos,
     "consistency": bench_consistency,
+    # The portable XLA stencil path, known to sit far below the kernel
+    # (kept for the record; measured once, no re-measure loop).
+    "spmm_planar": lambda: bench_spmm_chebyshev(impl="auto"),
 }
 
 # Generous first-compile budgets; cache-warm runs finish far faster.
 SECTION_TIMEOUT_S = {
     "device_info": 240,
-    "spmm_main": 1500,
-    "spmm_pallas": 1500,
-    "spmm_pallas_bf16": 1500,
-    "assembly": 900,
+    "spmm_pallas": 1200,
+    "spmm_pallas_bf16": 900,
+    "spmm_plane": 1200,
+    "spmm_sharded": 900,
+    "assembly": 600,
     "diagonalize": 1200,
-    "kpm_ldos": 1200,
+    "kpm_ldos": 900,
     "consistency": 600,
+    "spmm_planar": 900,
 }
 
 
@@ -442,8 +543,11 @@ def wait_for_backend(max_wait_s=1200) -> bool:
         time.sleep(10)
 
 
-def run_section(section: str, attempts: int = 3):
+def run_section(section: str, attempts: int = 2, deadline: float = None):
     timeout_s = SECTION_TIMEOUT_S.get(section, 900)
+    if deadline is not None:
+        # Never let one section run past the global deadline.
+        timeout_s = max(60, min(timeout_s, deadline - time.monotonic()))
     out_path = f"/tmp/bodge_bench_{section}.json"
     for i in range(attempts):
         if os.path.exists(out_path):
@@ -468,38 +572,34 @@ def run_section(section: str, attempts: int = 3):
     return None
 
 
-def parent_main():
-    budget = float(os.environ.get("BENCH_DEADLINE_S", 5400))
-    deadline = time.monotonic() + budget
-    results = {}
+_headline_printed = False
 
-    # Sections are pointless while the backend is down — spend up to 60% of
-    # the budget waiting for an up-window before starting.
-    wait_for_backend(max_wait_s=0.6 * budget)
-    results["device_info"] = run_section("device_info")
 
-    order = ["spmm_main", "spmm_pallas", "spmm_pallas_bf16", "assembly",
-             "diagonalize", "kpm_ldos", "consistency"]
-    for section in order:
-        if time.monotonic() > deadline:
-            log(f"[bench] global deadline reached; skipping {section}")
-            results[section] = None
-            continue
-        results[section] = run_section(section)
+def _emit_headline(results) -> bool:
+    """Print the driver's ONE JSON line from the best reliable SpMM result.
 
-    cands = [r for r in (results.get("spmm_main"), results.get("spmm_pallas"),
-                         results.get("spmm_pallas_bf16")) if r]
-    results["chebyshev_spmm"] = max(cands, key=lambda r: r["nnz_per_s"]) if cands else None
-
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_results.json"), "w") as f:
-        json.dump(results, f, indent=2)
-
-    head = results["chebyshev_spmm"]
-    if head is None:
-        print(json.dumps({"metric": "chebyshev_spmm_throughput", "value": 0,
-                          "unit": "nnz/s", "vs_baseline": 0}))
-        return
+    Called as soon as a candidate exists (and never twice): a later global
+    timeout then still leaves a parsed headline on stdout — the round-1
+    failure mode was burying this line behind slow sections.
+    """
+    global _headline_printed
+    if _headline_printed:
+        return True
+    cands = [
+        r
+        for r in (
+            results.get("spmm_pallas"),
+            results.get("spmm_pallas_bf16"),
+            results.get("spmm_plane"),
+            results.get("spmm_sharded"),
+            results.get("spmm_planar"),
+        )
+        if r and not r.get("timing_unreliable")
+    ]
+    if not cands:
+        return False
+    head = max(cands, key=lambda r: r["fraction_of_roof"])
+    results["chebyshev_spmm"] = head
     print(
         json.dumps(
             {
@@ -508,8 +608,65 @@ def parent_main():
                 "unit": "nnz/s",
                 "vs_baseline": head["fraction_of_roof"],
             }
-        )
+        ),
+        flush=True,
     )
+    _headline_printed = True
+    return True
+
+
+def _write_results(results):
+    """Incremental artifact write: a timeout mid-run loses nothing."""
+    path = os.path.join(REPO_DIR, "bench_results.json")
+    head_path = os.path.join(REPO_DIR, "diag_headline.json")
+    if os.path.exists(head_path):
+        try:
+            with open(head_path) as f:
+                results["diagonalize_100x100_offline"] = json.load(f)
+        except Exception:
+            pass
+    with open(path, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+def parent_main():
+    budget = float(os.environ.get("BENCH_DEADLINE_S", 3000))
+    deadline = time.monotonic() + budget
+    results = {}
+
+    # Sections are pointless while the backend is down — spend up to 60% of
+    # the budget waiting for an up-window before starting.
+    wait_for_backend(max_wait_s=0.6 * budget)
+    results["device_info"] = run_section("device_info")
+    _write_results(results)
+
+    # Headline section FIRST; the driver's metric prints the moment any
+    # reliable SpMM figure exists, before any slow section can burn budget.
+    order = [
+        "spmm_pallas",
+        "spmm_pallas_bf16",
+        "spmm_plane",
+        "spmm_sharded",
+        "assembly",
+        "diagonalize",
+        "kpm_ldos",
+        "consistency",
+        "spmm_planar",
+    ]
+    for section in order:
+        if time.monotonic() > deadline:
+            log(f"[bench] global deadline reached; skipping {section}")
+            results[section] = None
+            continue
+        results[section] = run_section(section, deadline=deadline)
+        _emit_headline(results)
+        _write_results(results)
+
+    if not _emit_headline(results):
+        # Last resort: an unreliable figure beats no figure, flagged as 0.
+        print(json.dumps({"metric": "chebyshev_spmm_throughput", "value": 0,
+                          "unit": "nnz/s", "vs_baseline": 0}), flush=True)
+    _write_results(results)
 
 
 def main():

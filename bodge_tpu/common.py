@@ -20,16 +20,97 @@ import numpy as np
 # Runtime type checking.
 #
 # The reference decorates every public method with beartype
-# (`bodge/common.py:9`).  beartype is not available in this environment, so
-# `typecheck` degrades to an identity decorator while keeping the annotation
-# discipline in place.  If beartype is installed, we use it.
+# (`bodge/common.py:9`).  beartype is preferred when installed; otherwise a
+# small vendored checker enforces the same contract for the annotation
+# forms this API actually uses (scalar builtins, Coord/Coords tuples,
+# Optional/Union, ndarray) and skips anything it cannot interpret.
+# Disable with BODGE_TYPECHECK=0.
 # --------------------------------------------------------------------------
+def _vendored_typecheck():
+    import inspect
+    import typing
+
+    def matches(value, ann) -> bool:
+        if ann is None or ann is type(None):
+            return value is None
+        if ann is typing.Any:
+            return True
+        origin = typing.get_origin(ann)
+        if origin is typing.Union:
+            return any(matches(value, a) for a in typing.get_args(ann))
+        if origin is tuple:
+            if not isinstance(value, tuple):
+                return False
+            args = typing.get_args(ann)
+            if len(args) == 2 and args[1] is Ellipsis:
+                return all(matches(v, args[0]) for v in value)
+            if args and len(args) != len(value):
+                return False
+            return all(matches(v, a) for v, a in zip(value, args))
+        if origin is not None:  # other generics (Iterator, list[...], …)
+            try:
+                return isinstance(value, origin)
+            except TypeError:
+                return True
+        if isinstance(ann, type):
+            if ann is int:
+                return isinstance(value, (int, np.integer)) and not isinstance(value, bool)
+            if ann is float:
+                return isinstance(value, (int, float, np.integer, np.floating)) and not isinstance(
+                    value, bool
+                )
+            if ann is complex:
+                return isinstance(
+                    value, (int, float, complex, np.integer, np.floating, np.complexfloating)
+                ) and not isinstance(value, bool)
+            try:
+                return isinstance(value, ann)
+            except TypeError:
+                return True
+        return True  # string forwards / unresolvable annotations: skip
+
+    def typecheck(fn):
+        if os.environ.get("BODGE_TYPECHECK") == "0":
+            return fn
+        sig = inspect.signature(fn)
+        hints_cache = {}
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            if "h" not in hints_cache:
+                try:  # resolve PEP-563 string annotations once, lazily
+                    hints_cache["h"] = typing.get_type_hints(fn)
+                except Exception:
+                    hints_cache["h"] = {}
+            hints = hints_cache["h"]
+            if hints:
+                bound = sig.bind(*args, **kwargs)
+                for name, value in bound.arguments.items():
+                    ann = hints.get(name)
+                    if ann is None:
+                        continue
+                    param = sig.parameters[name]
+                    if param.kind in (
+                        inspect.Parameter.VAR_POSITIONAL,
+                        inspect.Parameter.VAR_KEYWORD,
+                    ):
+                        continue
+                    if not matches(value, ann):
+                        raise TypeError(
+                            f"{fn.__qualname__}(): argument {name}={value!r} does not "
+                            f"match annotation {ann}"
+                        )
+            return fn(*args, **kwargs)
+
+        return wrapper
+
+    return typecheck
+
+
 try:  # pragma: no cover - depends on environment
     from beartype import beartype as typecheck  # type: ignore
-except ImportError:  # pragma: no cover
-
-    def typecheck(fn):  # type: ignore
-        return fn
+except ImportError:
+    typecheck = _vendored_typecheck()
 
 
 # --------------------------------------------------------------------------

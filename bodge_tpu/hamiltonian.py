@@ -60,6 +60,25 @@ def use_planar_device_path() -> bool:
         return False
 
 
+_PROGRAMMING_ERRORS = (
+    TypeError,
+    ValueError,
+    AttributeError,
+    KeyError,
+    IndexError,
+    AssertionError,
+)
+
+
+def _reraise_if_programming_error(e: Exception) -> None:
+    """The host-LAPACK fallback exists for device/compile failures (the
+    tunnelled TPU's remote HTTP 500s, UNIMPLEMENTED lowerings, backend
+    hangs) — genuine bugs in our own shape/dtype handling must not be
+    silently degraded to an O(N³) host solve (advisor finding)."""
+    if isinstance(e, _PROGRAMMING_ERRORS):
+        raise e
+
+
 def _warn_device_eigh_failure(e: Exception) -> None:
     """Device eigh can fail through the tunnelled-TPU compile helper (remote
     HTTP 500s, UNIMPLEMENTED lowerings at large dims).  The solvers stay
@@ -129,6 +148,7 @@ class Hamiltonian:
     callables are evaluated over whole coordinate arrays at once.
     """
 
+    @typecheck
     def __init__(self, lattice: Lattice, dtype=None):
         self.lattice = lattice
         self.shape: Indices = (BLOCK * lattice.size, BLOCK * lattice.size)
@@ -185,6 +205,7 @@ class Hamiltonian:
         self._dev_cache = (self._version, kind, op)
         return op
 
+    @typecheck
     def index(self, row: Coord, col: Coord) -> Index:
         """Flat block index k of block (row, col): ``data.reshape(-1,4,4)[k]``.
 
@@ -554,6 +575,7 @@ class Hamiltonian:
     # ------------------------------------------------------------------
     # Export
     # ------------------------------------------------------------------
+    @typecheck
     def matrix(self, format: str = "dense"):
         """Export the Hamiltonian in a requested matrix format.
 
@@ -605,7 +627,11 @@ class Hamiltonian:
         On planar backends the complex Hermitian problem is solved through
         its real-symmetric embedding (complex eigh is unavailable there).
         """
-        if self._eigh_cache is not None and self._eigh_cache[0] == self._version:
+        if (
+            self._eigh_cache is not None
+            and self._eigh_cache[0] == self._version
+            and self._eigh_cache[2] is not None
+        ):
             return self._eigh_cache[1], self._eigh_cache[2]
         try:
             if use_planar_device_path():
@@ -616,12 +642,18 @@ class Hamiltonian:
             else:
                 Hd = self.matrix(format="dense_jnp")
                 E, X = dense_ops._eigh(Hd)
+            # Force materialization INSIDE the try: JAX dispatch is async,
+            # so a device runtime failure would otherwise surface at a
+            # later np.asarray outside any fallback (advisor finding).
+            E, X = np.asarray(E), np.asarray(X)
         except Exception as e:  # device/compile failure → host LAPACK
+            _reraise_if_programming_error(e)
             _warn_device_eigh_failure(e)
             E, X = np.linalg.eigh(self.matrix(format="dense"))
         self._eigh_cache = (self._version, E, X)
         return E, X
 
+    @typecheck
     def diagonalize(self, cuda: bool = False, format: str = "reshape"):
         """Positive eigenvalues and eigenvectors of the dense Hamiltonian.
 
@@ -647,7 +679,7 @@ class Hamiltonian:
     def eigenvalues(self):
         """Positive eigenvalues only (no eigenvectors)."""
         if self._eigh_cache is not None and self._eigh_cache[0] == self._version:
-            E = self._eigh_cache[1]
+            E = np.asarray(self._eigh_cache[1])
         else:
             try:
                 if use_planar_device_path():
@@ -656,10 +688,15 @@ class Hamiltonian:
                     E = pl_ops.eigvalsh_planar(self.device_operator(), self._sk)
                 else:
                     E = jnp.linalg.eigvalsh(self.matrix(format="dense_jnp"))
+                E = np.asarray(E)  # materialize inside the try (async dispatch)
             except Exception as e:  # device/compile failure → host LAPACK
+                _reraise_if_programming_error(e)
                 _warn_device_eigh_failure(e)
                 E = np.linalg.eigvalsh(self.matrix(format="dense"))
-        E = np.asarray(E)
+            # Cache eigenvalues so repeated free_energy() calls on an
+            # unchanged Hamiltonian skip the O(N³) solve; eigenvectors stay
+            # None until diagonalize() needs them (round-1 review finding).
+            self._eigh_cache = (self._version, E, None)
         return E[E.shape[0] // 2 :]
 
     def free_energy(

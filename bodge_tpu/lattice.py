@@ -39,6 +39,7 @@ class Lattice:
     ``bodge/lattice.py:4-84``.)
     """
 
+    @typecheck
     def __init__(self, shape: Coord):
         if self.__class__ is Lattice:
             raise ValueError("Lattice is an abstract base class; instantiate a subclass.")
@@ -87,6 +88,7 @@ class CubicLattice(Lattice):
     """
 
     # -- Scalar API (reference parity) ------------------------------------
+    @typecheck
     def index(self, coord: Coord) -> Index:
         x, y, z = coord
         Lx, Ly, Lz = self.shape
@@ -101,6 +103,7 @@ class CubicLattice(Lattice):
                 for z in range(Lz):
                     yield (x, y, z)
 
+    @typecheck
     def bonds(self, axis: Optional[int] = None) -> Iterator[Coords]:
         """Nearest-neighbor pairs, both directions.
 
@@ -129,6 +132,7 @@ class CubicLattice(Lattice):
                     yield a, b
                     yield b, a
 
+    @typecheck
     def edges(self, axis: Optional[int] = None) -> Iterator[Coords]:
         """Opposite-face pairs for periodic BCs, both directions.
 

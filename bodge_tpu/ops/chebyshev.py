@@ -23,6 +23,7 @@ Pieces:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -191,24 +192,74 @@ def _upgrade_to_pallas(impl: str, data, v0_or_K, sk: Skeleton) -> str:
     The planar XLA stencil is the portable TPU path; the hand-scheduled
     Pallas kernel computes the same recursion ~30× faster (one streaming
     pass per step).  Upgrade only for host/complex inputs — planar-packed
-    arrays would need a host round-trip to repack."""
+    arrays would need a host round-trip to repack.  Callers apply this
+    only when the implementation was chosen automatically (impl=None /
+    "auto"); an explicitly requested "planar" stays planar so the paths
+    remain individually testable.  BODGE_PALLAS_UPGRADE=1 extends the
+    upgrade to non-TPU backends (interpret-mode kernels) for CI coverage
+    of the dispatch itself."""
     if impl != "planar" or _is_planar(data):
         return impl
     K = v0_or_K if isinstance(v0_or_K, int) else int(np.shape(v0_or_K)[-1])
     from .pallas_spmm import supported
 
+    forced = os.environ.get("BODGE_PALLAS_UPGRADE") == "1"
     try:
-        if jax.default_backend() == "tpu" and supported(sk, K):
+        if (forced or jax.default_backend() == "tpu") and supported(sk, K):
             return "pallas"
     except Exception:
         pass
     return impl
 
 
-def moments(data, sk: Skeleton, v0, order: int, scale: float, impl: str = None):
-    """Chebyshev moments of H/scale against probe vectors ``v0: [N, 4, K]``."""
+def _operator_storage(operator_dtype):
+    """Resolve the Pallas operator-storage dtype knob.
+
+    ``None`` consults the BODGE_OPERATOR_STORAGE env var ("bf16" halves the
+    operator's HBM traffic; vectors and accumulation stay f32 — drift is
+    quantified in tests/test_pallas.py).  Explicit "f32"/"bf16" strings or
+    dtypes override."""
+    if operator_dtype is None:
+        operator_dtype = os.environ.get("BODGE_OPERATOR_STORAGE", "")
+    if operator_dtype in ("", "f32", "float32", np.float32, jnp.float32):
+        return None
+    if operator_dtype in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    return operator_dtype
+
+
+# Identity trace probes materialize a (4N)² dense array; past this many
+# orbitals that silently becomes a multi-GB host allocation (round-1 review
+# finding), so demand an explicit stochastic estimator instead.
+MAX_EXACT_TRACE_ORBITALS = 8192
+
+
+def _identity_probes(N: int, dtype, what: str) -> np.ndarray:
+    if N * BLOCK > MAX_EXACT_TRACE_ORBITALS:
+        raise ValueError(
+            f"samples=None requests exact-trace probes: a {4 * N}×{4 * N} "
+            f"identity (> {MAX_EXACT_TRACE_ORBITALS} orbitals). Pass "
+            f"samples=<int> for a stochastic {what} on systems this large."
+        )
+    return np.eye(N * BLOCK, dtype=dtype).reshape(N, BLOCK, N * BLOCK)
+
+
+def moments(
+    data, sk: Skeleton, v0, order: int, scale: float, impl: str = None,
+    operator_dtype=None,
+):
+    """Chebyshev moments of H/scale against probe vectors ``v0: [N, 4, K]``.
+
+    ``operator_dtype``: Pallas-path operator-storage dtype ("bf16" halves
+    the dominant HBM stream; default f32, or the BODGE_OPERATOR_STORAGE
+    env knob).
+    """
+    auto = impl in (None, "auto")
     impl = _resolve_impl(impl)
-    if not _is_planar(v0, base_ndim=3):
+    if auto and not _is_planar(v0, base_ndim=3):
+        # Auto-selected planar upgrades to the fused kernel; an explicit
+        # impl="planar" is honored as-is (advisor finding: the planar path
+        # must stay forceable for cross-checks).
         impl = _upgrade_to_pallas(impl, data, v0, sk)
     if impl == "planar":
         from . import planar as pl_ops
@@ -227,7 +278,9 @@ def moments(data, sk: Skeleton, v0, order: int, scale: float, impl: str = None):
 
         K = v0.shape[-1]
         if supported(sk, K):
-            b_packed = pack_operator(data, sk, K)
+            b_packed = pack_operator(
+                data, sk, K, operator_dtype=_operator_storage(operator_dtype)
+            )
             v0_packed = pack_vector(v0, sk)
             return moments_pallas_fused(
                 b_packed, v0_packed, sk, jnp.float32(1.0 / scale), order, K
@@ -302,6 +355,7 @@ def ldos_kpm(
     scale: Optional[float] = None,
     eta: Optional[float] = None,
     impl: str = None,
+    operator_dtype=None,
 ) -> np.ndarray:
     """Local density of states at one site via KPM.
 
@@ -315,9 +369,9 @@ def ldos_kpm(
     reproduces the resolvent at ε+iη — the direct analog of the
     reference's broadened sparse solve.
     """
-    impl = _resolve_impl(impl)
+    impl_r = _resolve_impl(impl)
     if scale is None:
-        scale = spectral_bound(data, sk, impl=impl)
+        scale = spectral_bound(data, sk, impl=impl_r)
     if eta is not None:
         kernel = "lorentz"
         if order is None:
@@ -331,7 +385,8 @@ def ldos_kpm(
     v0 = np.zeros((N, BLOCK, BLOCK), dtype=dtype)
     v0[site_index, np.arange(BLOCK), np.arange(BLOCK)] = 1.0
 
-    mu = moments(data, sk, v0, order, scale, impl=impl)  # [order, 4]
+    mu = moments(data, sk, v0, order, scale, impl=impl,
+                 operator_dtype=operator_dtype)  # [order, 4]
     energies = np.array(energies, dtype=float)
     x = np.clip(energies / scale, -0.999999, 0.999999)
     dens = reconstruct_density(mu, jnp.asarray(x), scale, kernel=kernel)  # [M, 4]
@@ -349,6 +404,7 @@ def ldos_kpm_sites(
     scale: Optional[float] = None,
     eta: Optional[float] = None,
     impl: str = None,
+    operator_dtype=None,
 ) -> np.ndarray:
     """Batched KPM LDOS for many sites in one moment sweep.
 
@@ -357,9 +413,9 @@ def ldos_kpm_sites(
     Returns ``[n_sites, n_energies]`` (electron component, as in
     :func:`ldos_kpm`).
     """
-    impl = _resolve_impl(impl)
+    impl_r = _resolve_impl(impl)
     if scale is None:
-        scale = spectral_bound(data, sk, impl=impl)
+        scale = spectral_bound(data, sk, impl=impl_r)
     if eta is not None:
         kernel = "lorentz"
         if order is None:
@@ -375,7 +431,8 @@ def ldos_kpm_sites(
     cols = np.arange(K)
     v0[np.repeat(site_indices, BLOCK), np.tile(np.arange(BLOCK), n_sites), cols] = 1.0
 
-    mu = moments(data, sk, v0, order, scale, impl=impl)  # [order, 4·n_sites]
+    mu = moments(data, sk, v0, order, scale, impl=impl,
+                 operator_dtype=operator_dtype)  # [order, 4·n_sites]
     energies = np.array(energies, dtype=float)
     x = np.clip(energies / scale, -0.999999, 0.999999)
     dens = np.asarray(reconstruct_density(mu, jnp.asarray(x), scale, kernel=kernel))
@@ -394,6 +451,7 @@ def dos_kpm(
     samples: Optional[int] = 16,
     key=None,
     impl: str = None,
+    operator_dtype=None,
 ) -> np.ndarray:
     """Total density of states Tr δ(ε−H) via KPM.
 
@@ -403,9 +461,9 @@ def dos_kpm(
     vectors give an unbiased stochastic estimate.  Counts all 4N Nambu⊗Spin
     orbitals (particle-hole symmetric around ε = 0).
     """
-    impl = _resolve_impl(impl)
+    impl_r = _resolve_impl(impl)
     if scale is None:
-        scale = spectral_bound(data, sk, impl=impl)
+        scale = spectral_bound(data, sk, impl=impl_r)
     if eta is not None:
         kernel = "lorentz"
         if order is None:
@@ -415,13 +473,14 @@ def dos_kpm(
     N = sk.n_sites
     dtype = np.complex64 if _is_planar(data) else _host_dtype(data)
     if samples is None:
-        v0 = np.eye(N * BLOCK, dtype=dtype).reshape(N, BLOCK, N * BLOCK)
+        v0 = _identity_probes(N, dtype, "DOS")
         norm = 1.0
     else:
         v0 = rademacher_probes(N, samples, key, dtype, default_seed=1)
         norm = 1.0 / samples
 
-    mu = moments(data, sk, v0, order, scale, impl=impl)  # [order, K]
+    mu = moments(data, sk, v0, order, scale, impl=impl,
+                 operator_dtype=operator_dtype)  # [order, K]
     mu_tr = jnp.sum(mu, axis=1) * norm  # trace estimate per order
 
     energies = np.array(energies, dtype=float)
@@ -463,14 +522,17 @@ def trace_function(
     key=None,
     kernel: str = "jackson",
     impl: str = None,
+    operator_dtype=None,
 ) -> float:
     """Tr fn(H) by Chebyshev expansion.
 
     With ``samples=None`` the trace is exact: probes are the full identity,
-    batched as K = 4N columns (use only for small systems).  Otherwise a
-    Hutchinson estimator with ``samples`` Rademacher vectors is used —
-    unbiased, with O(1/√samples) stochastic error.
+    batched as K = 4N columns (refused above
+    :data:`MAX_EXACT_TRACE_ORBITALS` orbitals — O((4N)²) memory).
+    Otherwise a Hutchinson estimator with ``samples`` Rademacher vectors is
+    used — unbiased, with O(1/√samples) stochastic error.
     """
+    auto = impl in (None, "auto")
     impl = _resolve_impl(impl)
     coeffs = chebyshev_coefficients(lambda x: fn(scale * x), order)
     coeffs = coeffs * _KERNELS[kernel](order)
@@ -478,15 +540,17 @@ def trace_function(
 
     dtype = np.complex64 if _is_planar(data) else _host_dtype(data)
     if samples is None:
-        probes = np.eye(N * BLOCK, dtype=dtype).reshape(N, BLOCK, N * BLOCK)
+        probes = _identity_probes(N, dtype, "trace")
         norm = 1.0
     else:
         probes = rademacher_probes(N, samples, key, dtype)
         norm = 1.0 / samples
 
-    impl = _upgrade_to_pallas(impl, data, probes, sk)
+    if auto:
+        impl = _upgrade_to_pallas(impl, data, probes, sk)
     if impl == "pallas":
-        mu = moments(data, sk, probes, order, scale, impl="pallas")  # [order, K]
+        mu = moments(data, sk, probes, order, scale, impl="pallas",
+                     operator_dtype=operator_dtype)  # [order, K]
         return float(jnp.dot(jnp.asarray(coeffs, jnp.float32), jnp.sum(mu, axis=1))) * norm
     if impl == "planar":
         from . import planar as pl_ops
@@ -515,6 +579,7 @@ def free_energy_kpm(
     key=None,
     scale: Optional[float] = None,
     impl: str = None,
+    operator_dtype=None,
 ) -> float:
     """Landau free energy F = U − T·S without diagonalization.
 
@@ -535,5 +600,8 @@ def free_energy_kpm(
     else:
         g = lambda E: -np.abs(E) / 2 - T * np.log1p(np.exp(-np.abs(E) / T))
 
-    tr = trace_function(data, sk, g, order, scale, samples=samples, key=key, impl=impl)
+    tr = trace_function(
+        data, sk, g, order, scale, samples=samples, key=key, impl=impl,
+        operator_dtype=operator_dtype,
+    )
     return 0.5 * tr

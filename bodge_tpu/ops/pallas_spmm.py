@@ -102,6 +102,20 @@ def plan(sk: Skeleton, K: int) -> Optional[Layout]:
         if v_bytes <= FLAT_VECTOR_VMEM_MAX:
             return Layout(mode="flat", K=K, T=T, G=G, nb=nb, L=L)
 
+    return plane_layout(sk, K)
+
+
+def plane_layout(sk: Skeleton, K: int) -> Optional[Layout]:
+    """The plane layout for this skeleton, regardless of size heuristics.
+
+    Used directly by the row-sharded path (x-slabs are sequences of planes,
+    so the plane layout is the only one that shards along x) and by tests
+    that force plane-mode coverage on small lattices.
+    """
+    if not sk.stencil:
+        return None
+    Lx, Ly, Lz = sk.shape
+    M = Ly * Lz
     if Lx > 1 and M > 1:
         return Layout(mode="planes", K=K, P=_round_up(M, 128))
     return None
@@ -643,13 +657,16 @@ def _plane_cheb_kernel(
     )  # [2, 4, K, P]
     y_ref[...] = t_next.reshape(1, 2 * BLOCK * K, P)
 
-    # Moment partials for this plane: rows 0..K-1 = ⟨t_cur,t_cur⟩ per probe,
-    # rows K..2K-1 = ⟨t_next,t_cur⟩ per probe (zero-padded lanes contribute 0).
-    cc = jnp.sum(vc[0] * vc[0] + vc[1] * vc[1], axis=(0, 2))  # [K]
-    nc = jnp.sum(t_next[0] * vc[0] + t_next[1] * vc[1], axis=(0, 2))  # [K]
-    pp = jnp.zeros((1, 1, 128), dtype=jnp.float32)
-    pp = pp.at[0, 0, :K].set(cc).at[0, 0, K : 2 * K].set(nc)
-    pp_ref[...] = pp
+    # Moment partials for this plane, kept PER LANE: rows 0..K-1 =
+    # ⟨t_cur,t_cur⟩, rows K..2K-1 = ⟨t_next,t_cur⟩ (padded lanes are zero).
+    # The lane reduction happens outside the kernel — cross-lane reductions
+    # are slow on the VPU (measured ~2× the kernel runtime on the flat
+    # layout), and an in-kernel scatter placement does not lower in Mosaic.
+    cc = jnp.sum(vc[0] * vc[0] + vc[1] * vc[1], axis=0)  # [K, P]
+    nc = jnp.sum(t_next[0] * vc[0] + t_next[1] * vc[1], axis=0)  # [K, P]
+    rows = _pp_rows(K)
+    pads = [jnp.zeros((rows - 2 * K, P), jnp.float32)] if rows > 2 * K else []
+    pp_ref[...] = jnp.concatenate([cc, nc] + pads, axis=0).reshape(1, rows, P)
 
 
 @functools.partial(jax.jit, static_argnames=("sk", "K"))
@@ -670,9 +687,10 @@ def _plane_cheb_step(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
     )
     tp_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     inv_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    rows = _pp_rows(K)
     out_specs = (
         pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rows, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     )
 
     bytes_moved = (b_packed.size + 3 * t_cur.size + 2 * t_prev.size) * 4
@@ -684,7 +702,7 @@ def _plane_cheb_step(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
         out_specs=out_specs,
         out_shape=(
             jax.ShapeDtypeStruct(t_cur.shape, jnp.float32),
-            jax.ShapeDtypeStruct((Lx, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Lx, rows, P), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * sk.nnz_blocks * BLOCK * BLOCK * K * 4,
@@ -693,21 +711,113 @@ def _plane_cheb_step(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
         ),
         interpret=_interpret(),
     )(b_packed, t_cur, t_cur, t_cur, t_prev, inv_arr)
-    return t_next, pp.reshape(Lx, 128)[:, : 2 * K]
+    # Lane reduction of the per-lane partials in XLA (tiny array).
+    return t_next, jnp.sum(pp[:, : 2 * K, :], axis=-1)
+
+
+# ===========================================================================
+# Plane layout, halo form (row-sharded local slabs).
+# ===========================================================================
+# The sharded SpMM partitions x-planes over a device mesh; each device's
+# local operand is extended by ONE halo plane per side (delivered by a
+# `ppermute` ring in the caller — bodge_tpu/parallel/pallas_sharded.py).
+# These wrappers run the *same* kernel bodies as the single-device plane
+# path, but read vm/vc/vp from the extended operand ``v_ext[Lxl + 2]`` with
+# shifted (non-modular) index maps: plane i's −x neighbor is v_ext[i], the
+# plane itself v_ext[i+1], its +x neighbor v_ext[i+2].  The ring wrap
+# delivers the periodic partner planes at the global boundary, so periodic
+# and open boundaries work unmodified (open wrap blocks are structural
+# zeros).
+
+
+@functools.partial(jax.jit, static_argnames=("sk", "K", "Lxl"))
+def _plane_spmm_halo(b_local, v_ext, sk: Skeleton, K: int, Lxl: int):
+    """Local-slab stencil SpMM: ``[Lxl+2, 2·4K, P] → [Lxl, 2·4K, P]``."""
+    S = sk.n_slots
+    P = b_local.shape[-1]
+
+    grid = (Lxl,)
+    b_spec = pl.BlockSpec((1, 2 * S * 16, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vm_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vc_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i + 1, 0, 0), memory_space=pltpu.VMEM)
+    vp_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i + 2, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    bytes_moved = (b_local.size + 4 * Lxl * 2 * BLOCK * K * P) * 4
+    return pl.pallas_call(
+        functools.partial(_plane_stencil_kernel, sk, K, P),
+        grid=grid,
+        in_specs=[b_spec, vm_spec, vc_spec, vp_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((Lxl, 2 * BLOCK * K, P), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (sk.nnz_blocks // max(1, sk.shape[0] // Lxl)) * BLOCK * BLOCK * K * 4,
+            bytes_accessed=bytes_moved,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(b_local, v_ext, v_ext, v_ext)
+
+
+@functools.partial(jax.jit, static_argnames=("sk", "K", "Lxl"))
+def _plane_cheb_step_halo(b_local, v_ext, t_prev, inv, sk: Skeleton, K: int, Lxl: int):
+    """Local-slab fused Chebyshev step: ``(t_next[Lxl], partials[Lxl, 2K])``.
+
+    ``v_ext: [Lxl+2, 2·4K, P]`` is the halo-extended t_cur; ``t_prev`` is
+    the plain local slab.  Partials are per-plane (caller psums over the
+    mesh axis after the local plane sum).
+    """
+    S = sk.n_slots
+    P = b_local.shape[-1]
+
+    grid = (Lxl,)
+    b_spec = pl.BlockSpec((1, 2 * S * 16, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vm_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vc_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i + 1, 0, 0), memory_space=pltpu.VMEM)
+    vp_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i + 2, 0, 0), memory_space=pltpu.VMEM)
+    tp_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    inv_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    rows = _pp_rows(K)
+    out_specs = (
+        pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rows, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+
+    bytes_moved = (b_local.size + 3 * Lxl * 2 * BLOCK * K * P) * 4
+    inv_arr = jnp.asarray(inv, jnp.float32).reshape(1, 1)
+    t_next, pp = pl.pallas_call(
+        functools.partial(_plane_cheb_kernel, sk, K, P),
+        grid=grid,
+        in_specs=[b_spec, vm_spec, vc_spec, vp_spec, tp_spec, inv_spec],
+        out_specs=out_specs,
+        out_shape=(
+            jax.ShapeDtypeStruct((Lxl, 2 * BLOCK * K, P), jnp.float32),
+            jax.ShapeDtypeStruct((Lxl, rows, P), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (sk.nnz_blocks // max(1, sk.shape[0] // Lxl)) * BLOCK * BLOCK * K * 4,
+            bytes_accessed=bytes_moved,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(b_local, v_ext, v_ext, v_ext, t_prev, inv_arr)
+    return t_next, jnp.sum(pp[:, : 2 * K, :], axis=-1)
 
 
 # ===========================================================================
 # Public entry points (layout-dispatching).
 # ===========================================================================
-def pack_operator(data, sk: Skeleton, K: int = 4, operator_dtype=None):
+def pack_operator(data, sk: Skeleton, K: int = 4, operator_dtype=None, layout: Layout = None):
     """ELL block data ``[N, S, 4, 4]`` → packed float32 kernel layout.
 
     Host NumPy input is split into re/im planes on the host — the packed
     path must never put a complex buffer on backends without complex
     support (the point of the packed representation).  ``K`` selects the
-    layout plan and must match the probe count used for the vectors.
+    layout plan and must match the probe count used for the vectors; pass
+    an explicit ``layout`` (e.g. :func:`plane_layout`) to override the
+    automatic choice.
     """
-    lo = plan(sk, K)
+    lo = layout or plan(sk, K)
     if lo.mode == "flat":
         dtype = operator_dtype if operator_dtype is not None else np.float32
         return _pack_operator_flat(data, sk, lo, dtype=dtype)
@@ -716,17 +826,17 @@ def pack_operator(data, sk: Skeleton, K: int = 4, operator_dtype=None):
     return _pack_operator_planes(data, sk, lo)
 
 
-def pack_vector(v, sk: Skeleton):
+def pack_vector(v, sk: Skeleton, layout: Layout = None):
     """Operand ``[N, 4, K]`` complex → packed float32 kernel layout."""
-    lo = plan(sk, int(v.shape[-1]))
+    lo = layout or plan(sk, int(v.shape[-1]))
     if lo.mode == "flat":
         return _pack_vector_flat(v, sk, lo)
     return _pack_vector_planes(v, sk, lo)
 
 
-def unpack_vector(vp, sk: Skeleton, K: int, dtype):
+def unpack_vector(vp, sk: Skeleton, K: int, dtype, layout: Layout = None):
     """Inverse of :func:`pack_vector`."""
-    lo = plan(sk, K)
+    lo = layout or plan(sk, K)
     if lo.mode == "flat":
         return _unpack_vector_flat(vp, sk, K, dtype, lo)
     return _unpack_vector_planes(vp, sk, K, dtype, lo)

@@ -249,17 +249,18 @@ def _herm_planar_jit():
         trans = sk.trans_slot if sk.trans_slot.ndim == 2 else sk.trans_slot[None, :]
         mirror = dp[:, safe_cols, trans]  # [2, N, S, 4, 4]
         mT = jnp.swapaxes(mirror, -1, -2)
-        diff = jnp.maximum(
-            jnp.abs(dp[0] - mT[0]), jnp.abs(dp[1] + mT[1])
-        )
+        dr = dp[0] - mT[0]
+        di = dp[1] + mT[1]
+        diff = jnp.sqrt(dr * dr + di * di)
         return jnp.max(diff * sk.valid[..., None, None])
 
     return jax.jit(impl, static_argnames=("sk",))
 
 
 def hermiticity_error_planar(dp, sk: Skeleton):
-    """max(|Re(H−H†)|, |Im(H−H†)|) ≥ elementwise |H−H†|/√2 — used with the
-    same 1e-6 gate (the bound is within a √2 factor of the complex norm)."""
+    """max elementwise |H−H†| (true complex modulus from the re/im planes) —
+    the same quantity the reference gates at 1e-6
+    (``bodge/hamiltonian.py:121-122``)."""
     return _herm_planar_jit()(dp, sk)
 
 

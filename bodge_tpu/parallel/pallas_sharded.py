@@ -1,0 +1,254 @@
+"""Row-sharded KPM sweeps driven by the Pallas plane kernel.
+
+[NEW SCOPE] — closes the round-1 gap where the multi-device layer only ran
+the XLA einsum stencil (~0.5% of the HBM roof) while the single-device
+Pallas kernel ran at ~80%: here the *same* hand-scheduled plane kernel
+(:mod:`bodge_tpu.ops.pallas_spmm`) processes each device's local x-slab,
+and the one plane of operand data needed from each neighbor device is
+exchanged with a ``jax.lax.ppermute`` ring inside ``shard_map`` (ICI on a
+pod slice, hierarchical over DCN for multi-host).
+
+Key facts the design leans on:
+
+- The packed plane layout ``[Lx, rows, P]`` is x-major, so a 1-D row
+  partition of the lattice is a contiguous block partition of BOTH the
+  packed operator and the packed vectors — no repacking at shard
+  boundaries.
+- The stencil needs exactly one x-plane per side per application.  The
+  local slab is extended to ``v_ext[Lxl + 2]`` (halo planes at both ends)
+  and the kernel reads neighbors through shifted index maps
+  (:func:`bodge_tpu.ops.pallas_spmm._plane_cheb_step_halo`).
+- The ``ppermute`` ring wrap delivers the global-boundary partner planes,
+  so periodic and open boundaries work unmodified (open-boundary wrap
+  blocks are structural zeros and annihilate the halo contribution).
+- Chebyshev inner products come from the kernel's fused per-plane moment
+  partials, reduced with one tiny ``psum`` per step — the vectors are
+  never re-read outside the kernel.
+
+Reference analog: none (the reference is single-process,
+reference README "no support for e.g. MPI"); SURVEY §2.2 halo-exchange row.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.blocksparse import BLOCK, Skeleton
+from ..ops.chebyshev import _KERNELS, chebyshev_coefficients, rademacher_probes
+from ..ops.pallas_spmm import (
+    _plane_cheb_step_halo,
+    _plane_spmm_halo,
+    pack_operator,
+    pack_vector,
+    plane_layout,
+    unpack_vector,
+)
+from .sharded import AXIS, RowSharding
+
+
+def _require_plane_shardable(rs: RowSharding, K: int):
+    if rs.has_probe_axis:
+        raise ValueError(
+            "The Pallas sharded path partitions rows only; use a rows-only mesh"
+        )
+    lo = plane_layout(rs.sk, K)
+    if lo is None:
+        raise ValueError(
+            "Pallas sharded path needs a cubic lattice with Lx > 1 and Ly·Lz > 1"
+        )
+    return lo
+
+
+def _is_packed_operator(data) -> bool:
+    return data.ndim == 3 and not np.iscomplexobj(data)
+
+
+def _is_packed_vector(v) -> bool:
+    return v.ndim == 3 and not np.iscomplexobj(v)
+
+
+def pack_operator_sharded(rs: RowSharding, data):
+    """Host ELL block data ``[N, S, 4, 4]`` → plane-packed, row-sharded
+    ``[Lx, 2·S·16, P]`` float32 on the mesh."""
+    lo = _require_plane_shardable(rs, BLOCK)
+    packed = pack_operator(np.asarray(data), rs.sk, K=lo.K, layout=lo)
+    return jax.device_put(packed, NamedSharding(rs.mesh, P(AXIS)))
+
+
+def pack_vector_sharded(rs: RowSharding, v):
+    """Operand ``[N, 4, K]`` complex → plane-packed, row-sharded
+    ``[Lx, 2·4·K, P]`` float32 on the mesh."""
+    lo = _require_plane_shardable(rs, int(v.shape[-1]))
+    packed = pack_vector(np.asarray(v), rs.sk, layout=lo)
+    return jax.device_put(packed, NamedSharding(rs.mesh, P(AXIS)))
+
+
+def _halo_extend(t_local, n_shards: int):
+    """Local slab ``[Lxl, rows, P]`` → ``[Lxl+2, rows, P]`` with neighbor
+    halo planes at both ends (ring ppermute; wrap = periodic partner)."""
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    lo_plane = lax.ppermute(t_local[-1:], AXIS, perm=fwd)
+    hi_plane = lax.ppermute(t_local[:1], AXIS, perm=bwd)
+    return jnp.concatenate([lo_plane, t_local, hi_plane], axis=0)
+
+
+@partial(jax.jit, static_argnames=("rs", "K"))
+def _spmm_pallas_sharded_jit(rs: RowSharding, b_sh, v_sh, K: int):
+    sk, n = rs.sk, rs.n_shards
+    Lxl = sk.shape[0] // n
+
+    def local(b_l, v_l):
+        v_ext = _halo_extend(v_l, n)
+        return _plane_spmm_halo(b_l, v_ext, sk, K, Lxl)
+
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, and the kernel is manually sharded by construction.
+    fn = jax.shard_map(
+        local, mesh=rs.mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS),
+        check_vma=False,
+    )
+    return fn(b_sh, v_sh)
+
+
+def spmm_sharded_pallas(rs: RowSharding, data, v):
+    """``H @ v`` with H row-partitioned, computed by the Pallas plane kernel.
+
+    Accepts host complex inputs (packed/sharded internally) or already
+    plane-packed sharded arrays; the output matches the input form.
+    """
+    if _is_packed_operator(data) and _is_packed_vector(v):
+        K = v.shape[1] // (2 * BLOCK)
+        return _spmm_pallas_sharded_jit(rs, data, v, K)
+    K = int(v.shape[-1])
+    lo = _require_plane_shardable(rs, K)
+    b_sh = pack_operator_sharded(rs, data)
+    v_sh = pack_vector_sharded(rs, v)
+    y = _spmm_pallas_sharded_jit(rs, b_sh, v_sh, K)
+    return unpack_vector(np.asarray(y), rs.sk, K, np.asarray(data).dtype, layout=lo)
+
+
+@partial(jax.jit, static_argnames=("rs", "order", "K"))
+def _moments_pallas_sharded_jit(rs: RowSharding, b_sh, v0_sh, inv, order: int, K: int):
+    sk, n = rs.sk, rs.n_shards
+    Lxl = sk.shape[0] // n
+
+    def local(b_l, v_l, inv_l):
+        def fused(t_cur, t_prev, step_inv):
+            v_ext = _halo_extend(t_cur, n)
+            t_next, pp = _plane_cheb_step_halo(b_l, v_ext, t_prev, step_inv, sk, K, Lxl)
+            sums = lax.psum(jnp.sum(pp, axis=0), AXIS)  # [2K]
+            return t_next, sums[:K], sums[K:]
+
+        # Half-scaled first step: t1 = H̃ t0, and the fused partials give
+        # μ0 = ⟨t0,t0⟩, μ1 = ⟨t1,t0⟩ for free (same trick as the
+        # single-device moments_pallas_fused).
+        t0 = v_l
+        t1, mu0, mu1 = fused(t0, jnp.zeros_like(t0), 0.5 * inv_l)
+        steps = max(0, (order - 1) // 2)
+        if steps == 0:
+            return jnp.stack([mu0, mu1])[:order]
+
+        def body(carry, _):
+            t_prev, t_cur = carry
+            t_next, cc, nc = fused(t_cur, t_prev, inv_l)
+            return (t_cur, t_next), (2.0 * cc - mu0, 2.0 * nc - mu1)
+
+        (_, _), (alphas, betas) = lax.scan(body, (t0, t1), None, length=steps)
+        rest = jnp.stack([alphas, betas], axis=1).reshape(2 * steps, K)
+        return jnp.concatenate([mu0[None], mu1[None], rest], axis=0)[:order]
+
+    fn = jax.shard_map(
+        local, mesh=rs.mesh, in_specs=(P(AXIS), P(AXIS), P()), out_specs=P(),
+        check_vma=False,
+    )
+    return fn(b_sh, v0_sh, jnp.asarray(inv, jnp.float32))
+
+
+def moments_sharded_pallas(rs: RowSharding, data, v0, order: int, scale: float):
+    """Chebyshev moments ``μ_m[k]`` with the row-sharded Pallas kernel.
+
+    ``data`` may be host complex ELL data or a pre-packed sharded operator;
+    likewise ``v0``.  Moments are exact (packing is a permutation plus zero
+    padding, and the kernel's fused partials are the same inner products).
+    """
+    if _is_packed_operator(data):
+        b_sh = data
+    else:
+        b_sh = pack_operator_sharded(rs, data)
+    if _is_packed_vector(v0):
+        v_sh = v0
+        K = v0.shape[1] // (2 * BLOCK)
+    else:
+        K = int(v0.shape[-1])
+        v_sh = pack_vector_sharded(rs, v0)
+    return _moments_pallas_sharded_jit(rs, b_sh, v_sh, 1.0 / scale, order, K)
+
+
+@partial(jax.jit, static_argnames=("rs", "steps", "K"))
+def chebyshev_scan_sharded(rs: RowSharding, b_sh, v_sh, inv, steps: int, K: int):
+    """``steps`` fused Chebyshev steps over the row-sharded kernel; returns
+    the final packed local-slab vector (sharded).
+
+    One halo exchange + one kernel pass per step — the sustained-throughput
+    workhorse (bench) and the building block for Chebyshev time evolution.
+    """
+    sk, n = rs.sk, rs.n_shards
+    Lxl = sk.shape[0] // n
+
+    def local(b_l, v_l, inv_l):
+        def step(carry, _):
+            t_prev, t_cur = carry
+            v_ext = _halo_extend(t_cur, n)
+            t_next, _pp = _plane_cheb_step_halo(b_l, v_ext, t_prev, inv_l, sk, K, Lxl)
+            return (t_cur, t_next), None
+
+        (_, out), _ = lax.scan(step, (v_l, v_l), None, length=steps)
+        return out
+
+    fn = jax.shard_map(
+        local, mesh=rs.mesh, in_specs=(P(AXIS), P(AXIS), P()), out_specs=P(AXIS),
+        check_vma=False,
+    )
+    return fn(b_sh, v_sh, jnp.asarray(inv, jnp.float32))
+
+
+def free_energy_kpm_sharded_pallas(
+    rs: RowSharding,
+    data,
+    temperature: float,
+    scale: float,
+    order: int = 512,
+    samples: int = 64,
+    key=None,
+    kernel: str = "jackson",
+) -> float:
+    """Row-partitioned KPM free energy through the Pallas plane kernel.
+
+    Same estimator as :func:`bodge_tpu.parallel.free_energy_kpm_sharded`
+    (identical probes for identical keys), but every SpMM runs in the
+    hand-scheduled kernel — the fast multi-chip sweep workhorse.
+    """
+    T = float(temperature)
+    if T < 0:
+        raise ValueError("Expected non-negative temperature!")
+    if T == 0:
+        g = lambda E: -np.abs(E) / 2
+    else:
+        g = lambda E: -np.abs(E) / 2 - T * np.log1p(np.exp(-np.abs(E) / T))
+
+    coeffs = chebyshev_coefficients(lambda x: g(scale * x), order)
+    coeffs = coeffs * _KERNELS[kernel](order)
+
+    z = rademacher_probes(rs.sk.n_sites, samples, key, np.complex64)
+    mu = moments_sharded_pallas(rs, data, z, order, scale)  # [order, samples]
+    est = float(jnp.dot(jnp.asarray(coeffs, jnp.float32), jnp.sum(mu, axis=1)))
+    return 0.5 * est / samples

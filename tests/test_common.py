@@ -45,3 +45,32 @@ def test_public_api_surface_parity():
     assert not missing, f"missing public names: {missing}"
     for n in reference_all:
         assert n in bodge_tpu.__all__ or hasattr(bodge_tpu, n)
+
+
+def test_runtime_typecheck_rejects_bad_args():
+    """Reference contract: every public method is runtime type checked
+    (bodge/common.py:9 decorates with beartype); the vendored checker must
+    reject obviously wrong argument types."""
+    import pytest
+
+    from bodge_tpu import CubicLattice, Hamiltonian
+
+    lattice = CubicLattice((4, 4, 1))
+    with pytest.raises(TypeError):
+        lattice.index("not a coord")
+    with pytest.raises((TypeError, ValueError)):
+        lattice.index((1.5, 0, 0))
+    with pytest.raises(TypeError):
+        list(lattice.bonds(axis="x"))
+    with pytest.raises(TypeError):
+        Hamiltonian("not a lattice")
+    system = Hamiltonian(lattice)
+    with pytest.raises(TypeError):
+        system.matrix(format=3)
+
+    # Valid calls still work, including numpy integers for int slots.
+    import numpy as np
+
+    assert lattice.index((1, 2, 0)) == lattice.index(
+        (np.int64(1), np.int64(2), np.int64(0))
+    )

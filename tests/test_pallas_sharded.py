@@ -1,0 +1,183 @@
+"""Row-sharded Pallas plane-kernel tests (8 virtual CPU devices, kernels in
+interpreter mode): the halo-exchange Pallas path must agree with the
+single-device stencil reference for open and periodic boundaries.
+
+[NEW SCOPE] — closes the round-1 gap where the multi-device layer only ran
+the XLA einsum stencil; see bodge_tpu/parallel/pallas_sharded.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bodge_tpu import CubicLattice, Hamiltonian, jσ2, σ0, σ3
+from bodge_tpu.ops import chebyshev as kpm
+from bodge_tpu.ops.spmm import spmm_stencil
+from bodge_tpu.parallel import RowSharding, make_row_mesh
+from bodge_tpu.parallel.pallas_sharded import (
+    free_energy_kpm_sharded_pallas,
+    moments_sharded_pallas,
+    pack_operator_sharded,
+    pack_vector_sharded,
+    spmm_sharded_pallas,
+)
+
+
+def build_system(shape, pbc=False, seed=3):
+    lattice = CubicLattice(shape)
+    system = Hamiltonian(lattice)
+    rng = np.random.default_rng(seed)
+    phase = rng.normal(size=(lattice.size, 1, 1))
+
+    def hopping(ci, cj):
+        bond = (np.abs(ci - cj).max(axis=1) == 1)[:, None, None]
+        if pbc:
+            bond = np.ones_like(bond)
+        return np.where(bond, -1.0 * σ0, 0)
+
+    system.assemble(
+        onsite=lambda ci: -0.7 * σ0 - 0.2 * σ3,
+        pairing_onsite=lambda ci: (0.3 + 0.1 * phase) * jσ2,
+        hopping=hopping,
+    )
+    return lattice, system
+
+
+def row_mesh(n=8):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} virtual devices")
+    return make_row_mesh(n)
+
+
+@pytest.mark.parametrize("pbc", [False, True])
+def test_pallas_sharded_spmm_matches_stencil(pbc):
+    mesh = row_mesh()
+    lattice, system = build_system((16, 7, 1), pbc=pbc)
+    rs = RowSharding(system.skeleton, mesh)
+
+    rng = np.random.default_rng(0)
+    v = (
+        rng.normal(size=(lattice.size, 4, 4)) + 1j * rng.normal(size=(lattice.size, 4, 4))
+    ).astype(np.complex64)
+
+    want = np.asarray(
+        spmm_stencil(jnp.asarray(system.host_data()), system.skeleton, jnp.asarray(v))
+    )
+    got = np.asarray(spmm_sharded_pallas(rs, system.host_data(), v))
+    assert np.allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_pallas_sharded_spmm_packed_form():
+    """Pre-packed sharded operands go straight through the kernel (the form
+    the sweep workhorse uses — no per-call host packing)."""
+    mesh = row_mesh()
+    lattice, system = build_system((16, 7, 1), pbc=True)
+    rs = RowSharding(system.skeleton, mesh)
+
+    rng = np.random.default_rng(5)
+    v = (
+        rng.normal(size=(lattice.size, 4, 4)) + 1j * rng.normal(size=(lattice.size, 4, 4))
+    ).astype(np.complex64)
+
+    b_sh = pack_operator_sharded(rs, system.host_data())
+    v_sh = pack_vector_sharded(rs, v)
+    y_packed = spmm_sharded_pallas(rs, b_sh, v_sh)
+
+    from bodge_tpu.ops.pallas_spmm import plane_layout, unpack_vector
+
+    lo = plane_layout(system.skeleton, 4)
+    got = np.asarray(
+        unpack_vector(np.asarray(y_packed), system.skeleton, 4, np.complex64, layout=lo)
+    )
+    want = np.asarray(
+        spmm_stencil(jnp.asarray(system.host_data()), system.skeleton, jnp.asarray(v))
+    )
+    assert np.allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("pbc", [False, True])
+def test_pallas_sharded_moments_match_single_device(pbc):
+    mesh = row_mesh()
+    lattice, system = build_system((16, 7, 1), pbc=pbc, seed=11)
+    rs = RowSharding(system.skeleton, mesh)
+    sk = system.skeleton
+    a = kpm.spectral_bound(system.host_data(), sk, impl="stencil")
+
+    N = lattice.size
+    v0 = np.zeros((N, 4, 4), dtype=system.dtype)
+    v0[lattice[(8, 3, 0)], np.arange(4), np.arange(4)] = 1.0
+
+    order = 48
+    want = np.asarray(kpm.moments(system.host_data(), sk, v0, order, a, impl="stencil"))
+    got = np.asarray(moments_sharded_pallas(rs, system.host_data(), v0, order, a))
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_pallas_sharded_free_energy_matches_single_device():
+    mesh = row_mesh()
+    lattice, system = build_system((16, 4, 1))
+    rs = RowSharding(system.skeleton, mesh)
+    sk = system.skeleton
+    a = kpm.spectral_bound(system.host_data(), sk, impl="stencil")
+
+    T, order, samples = 0.3, 128, 8
+    key = jax.random.PRNGKey(7)
+    F_single = kpm.free_energy_kpm(
+        system.host_data(), sk, T, order=order, samples=samples, key=key, scale=a,
+        impl="stencil",
+    )
+    F_pallas = free_energy_kpm_sharded_pallas(
+        rs, system.host_data(), T, a, order=order, samples=samples, key=key
+    )
+    assert np.isclose(F_pallas, F_single, rtol=2e-4, atol=1e-3)
+
+
+def test_pallas_sharded_odd_order_moments():
+    """Odd expansion orders exercise the trailing-moment truncation."""
+    mesh = row_mesh()
+    lattice, system = build_system((8, 6, 1), pbc=True, seed=2)
+    rs = RowSharding(system.skeleton, mesh)
+    sk = system.skeleton
+    a = kpm.spectral_bound(system.host_data(), sk, impl="stencil")
+
+    N = lattice.size
+    v0 = np.zeros((N, 4, 2), dtype=system.dtype)
+    v0[N // 2, [0, 1], [0, 1]] = 1.0
+
+    for order in (2, 3, 7):
+        want = np.asarray(
+            kpm.moments(system.host_data(), sk, v0, order, a, impl="stencil")
+        )
+        got = np.asarray(moments_sharded_pallas(rs, system.host_data(), v0, order, a))
+        np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_pallas_sharded_requires_rows_only_mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_row_mesh(8, probe_shards=2)
+    lattice, system = build_system((8, 6, 1))
+    rs = RowSharding(system.skeleton, mesh)
+    v = np.zeros((lattice.size, 4, 2), dtype=np.complex64)
+    with pytest.raises(ValueError):
+        spmm_sharded_pallas(rs, system.host_data(), v)
+
+
+def test_pallas_sharded_single_shard_mesh():
+    """A 1-device mesh must reproduce the unsharded kernel (the real-chip
+    bench configuration: shard_map over the single TPU)."""
+    mesh = make_row_mesh(1)
+    lattice, system = build_system((6, 5, 1), pbc=True, seed=9)
+    rs = RowSharding(system.skeleton, mesh)
+
+    rng = np.random.default_rng(1)
+    v = (
+        rng.normal(size=(lattice.size, 4, 4)) + 1j * rng.normal(size=(lattice.size, 4, 4))
+    ).astype(np.complex64)
+    want = np.asarray(
+        spmm_stencil(jnp.asarray(system.host_data()), system.skeleton, jnp.asarray(v))
+    )
+    got = np.asarray(spmm_sharded_pallas(rs, system.host_data(), v))
+    assert np.allclose(got, want, atol=2e-4, rtol=2e-4)
