@@ -1,13 +1,17 @@
 #!/usr/bin/env python
 """One-off measurement of the BASELINE 100×100 build+diagonalize headline.
 
-The 100×100 s-wave case is a 40 000×40 000 dense Hermitian matrix — beyond
-one v5e chip's HBM in any representation (the planar real embedding is
-80 000² f32 = 25.6 GB), so the honest headline is host LAPACK, recorded
-once here and merged into ``bench_results.json`` by ``bench.py`` with an
-explicit ``measured: "offline_host_lapack"`` label.
+The 100×100 s-wave case is a 40 000×40 000 Hermitian matrix — beyond one
+v5e chip's HBM in any dense representation (the planar real embedding is
+80 000² f32 = 25.6 GB), and beyond this 2-core host's reach with dense
+LAPACK (measured ~21 h extrapolation).  The matrix is, however, *banded*
+(scalar half-bandwidth 4·L+3 = 403 in natural order), so LAPACK's banded
+Hermitian driver computes the exact full spectrum in O(dim²·bw) — the path
+``Hamiltonian.eigenvalues(method="banded")`` exposes.  This script records
+that number once; ``bench.py`` merges ``diag_headline.json`` into
+``bench_results.json``.
 
-Reference analog: ``bodge/hamiltonian.py:228-230`` (scipy eigh on the
+Reference analog: ``bodge/hamiltonian.py:228-230`` (scipy dense eigh on the
 author's CPU; no published timing exists for this size).
 """
 
@@ -22,6 +26,7 @@ import numpy as np
 
 def main(L=100):
     from bodge_tpu import CubicLattice, Hamiltonian, jσ2, σ0
+    from bodge_tpu.ops import banded
 
     lattice = CubicLattice((L, L, 1))
     t0 = time.perf_counter()
@@ -37,31 +42,33 @@ def main(L=100):
     )
     t_build = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    H = system.matrix("dense")
-    t_dense = time.perf_counter() - t0
-    print(f"build {t_build:.2f} s; densify {t_dense:.2f} s; dim {H.shape[0]}", flush=True)
+    data = np.asarray(system._data)
+    bw = banded.scalar_bandwidth(data, system._sk)
+    dim = 4 * lattice.size
+    print(f"build {t_build:.2f} s; dim {dim}; scalar bandwidth {bw}", flush=True)
 
     t0 = time.perf_counter()
-    E = np.linalg.eigvalsh(H)
+    E = system.eigenvalues(method="banded")  # positive spectrum, exact
     t_eig = time.perf_counter() - t0
     gap = float(E[E > 0].min())
-    print(f"eigvalsh {t_eig:.1f} s; gap {gap:.4f}", flush=True)
+    print(f"banded eigvalsh {t_eig:.1f} s; gap {gap:.4f}", flush=True)
 
     out = {
         "L": L,
-        "dim": int(H.shape[0]),
+        "dim": dim,
         "dtype": "complex64",
+        "scalar_bandwidth": int(bw),
         "build_s": t_build,
-        "densify_s": t_dense,
         "eigvalsh_s": t_eig,
-        "total_s": t_build + t_dense + t_eig,
+        "total_s": t_build + t_eig,
         "gap": gap,
-        "measured": "offline_host_lapack",
+        "measured": "host_lapack_banded_exact",
         "note": (
-            "40000^2 dense exceeds single-chip HBM (planar embedding 25.6 GB); "
-            "headline recorded once on the host CPU (2 cores, OpenBLAS) and "
-            "merged into bench_results.json by bench.py"
+            "Exact full positive spectrum via LAPACK ?hbevd on the RCM-ordered "
+            "band (Hamiltonian.eigenvalues(method='banded')); dense LAPACK at "
+            "this size extrapolates to ~21 h on this 2-core host and the dense "
+            "matrix exceeds single-chip HBM (planar embedding 25.6 GB). "
+            "Merged into bench_results.json by bench.py."
         ),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "diag_headline.json"), "w") as f:
@@ -70,4 +77,6 @@ def main(L=100):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 100)

@@ -654,19 +654,39 @@ class Hamiltonian:
         return E, X
 
     @typecheck
-    def diagonalize(self, cuda: bool = False, format: str = "reshape"):
+    def diagonalize(self, cuda: bool = False, format: str = "reshape", method: str = "dense"):
         """Positive eigenvalues and eigenvectors of the dense Hamiltonian.
 
         ``format="raw"``: ``(E, X)`` with eigenvectors as columns, exactly
         as a direct LAPACK/XLA call would return them.  The default
         ``"reshape"`` returns ``X[n, i, α]`` with α ∈ {e↑, e↓, h↑, h↓}
         (reference layout contract, ``bodge/hamiltonian.py:239-248``).
+
+        ``method="banded"`` solves the same eigenproblem through LAPACK's
+        banded Hermitian driver after a bandwidth-minimizing RCM site
+        relabeling — exact, and O(dim²·bandwidth) instead of O(dim³) for
+        open-boundary lattices (see :mod:`bodge_tpu.ops.banded`).
         """
         if cuda:
             raise RuntimeError(
                 "The `cuda` flag is not applicable: this build runs on TPU/CPU via JAX."
             )
-        E, X = self._full_spectrum()
+        if method == "banded":
+            from .ops import banded as banded_ops
+
+            if (
+                self._eigh_cache is not None
+                and self._eigh_cache[0] == self._version
+                and self._eigh_cache[2] is not None
+            ):
+                E, X = self._eigh_cache[1], self._eigh_cache[2]
+            else:
+                E, X = banded_ops.eigh_banded(np.asarray(self._data), self._sk)
+                self._eigh_cache = (self._version, E, X)
+        elif method == "dense":
+            E, X = self._full_spectrum()
+        else:
+            raise RuntimeError(f"diagonalize method '{method}' is not supported")
         half = E.shape[0] // 2
         eigval = np.asarray(E[half:])
         eigvec = np.asarray(X[:, half:])
@@ -676,10 +696,24 @@ class Hamiltonian:
             return eigval, eigvec.T.reshape(eigval.size, -1, BLOCK)
         raise RuntimeError(f"Eigenstate format '{format}' is not yet supported.")
 
-    def eigenvalues(self):
-        """Positive eigenvalues only (no eigenvectors)."""
+    def eigenvalues(self, method: str = "dense"):
+        """Positive eigenvalues only (no eigenvectors).
+
+        ``method="banded"`` computes the identical spectrum via LAPACK's
+        banded driver (O(dim²·bandwidth)); for large open-boundary lattices
+        this is the only tractable exact path — e.g. the 100×100 s-wave
+        case (a 40 000² matrix) solves in ~40 min on a 2-core host where
+        dense LAPACK would need ~20 h.
+        """
+        if method not in ("dense", "banded"):
+            raise RuntimeError(f"eigenvalues method '{method}' is not supported")
         if self._eigh_cache is not None and self._eigh_cache[0] == self._version:
             E = np.asarray(self._eigh_cache[1])
+        elif method == "banded":
+            from .ops import banded as banded_ops
+
+            E = banded_ops.eigvalsh_banded(np.asarray(self._data), self._sk)
+            self._eigh_cache = (self._version, E, None)
         else:
             try:
                 if use_planar_device_path():
@@ -730,9 +764,9 @@ class Hamiltonian:
             return chebyshev.free_energy_kpm(
                 self._data, self._sk, temperature, **kpm_kwargs
             )
-        if method != "dense":
+        if method not in ("dense", "banded"):
             raise RuntimeError(f"free_energy method '{method}' is not supported")
-        E = jnp.asarray(self.eigenvalues())
+        E = jnp.asarray(self.eigenvalues(method=method))
         return float(dense_ops.free_energy_from_spectrum(E, temperature))
 
     def dos(self, energies, method: str = "kpm", **kpm_kwargs) -> np.ndarray:

@@ -74,11 +74,21 @@ def main():
     t1 = results[0]["time_s"]
     shared_host = jax.devices()[0].platform == "cpu"
     for r in results:
-        ideal = t1 * r["devices"] if shared_host else t1
-        r["normalization"] = "aggregate-throughput (shared-host virtual devices)" \
-            if shared_host else "constant wall-clock (dedicated devices)"
-        r["weak_scaling_efficiency"] = min(ideal / r["time_s"], 1.5)
-        print(f"P={r['devices']:3d}  efficiency={100*r['weak_scaling_efficiency']:.1f}%")
+        if shared_host:
+            # Virtual devices share one host's cores: constant-wall-clock
+            # "weak scaling" is meaningless here, so report the aggregate-
+            # throughput number under its own key and do NOT emit
+            # weak_scaling_efficiency at all (advisor finding: the same key
+            # must not mean different things across runs). No clamping —
+            # >1 just means XLA parallelized the P-fold workload well.
+            r["normalization"] = "aggregate-throughput (shared-host virtual devices)"
+            r["shared_host_throughput_efficiency"] = t1 * r["devices"] / r["time_s"]
+            eff = r["shared_host_throughput_efficiency"]
+        else:
+            r["normalization"] = "constant wall-clock (dedicated devices)"
+            r["weak_scaling_efficiency"] = t1 / r["time_s"]
+            eff = r["weak_scaling_efficiency"]
+        print(f"P={r['devices']:3d}  efficiency={100*eff:.1f}%")
 
     with open("weak_scaling.json", "w") as f:
         json.dump(results, f, indent=2)
