@@ -443,23 +443,30 @@ def _flat_cheb_step(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
 # ===========================================================================
 # Plane layout (fallback for vectors too large to keep VMEM-resident).
 # ===========================================================================
-def _pack_operator_planes(data, sk: Skeleton, lo: Layout):
-    """ELL block data ``[N, S, 4, 4]`` → packed ``[Lx, 2·S·16, P]`` float32."""
+def _pack_operator_planes(data, sk: Skeleton, lo: Layout, dtype=np.float32):
+    """ELL block data ``[N, S, 4, 4]`` → packed ``[Lx, 2·S·16, P]`` in
+    ``dtype`` (float32, or bfloat16 for half-traffic operator storage — the
+    kernel upcasts blocks to f32 on load, so accumulation precision is
+    unchanged)."""
+    import ml_dtypes
+
     Lx, Ly, Lz = sk.shape
     S = sk.n_slots
     P = lo.P
+    np_dtype = np.float32 if dtype in (np.float32, jnp.float32) else ml_dtypes.bfloat16
     if isinstance(data, np.ndarray):
         d = data.reshape(Lx, Ly * Lz, S, BLOCK, BLOCK)
         d = np.moveaxis(d, 1, -1)
-        out = np.zeros((Lx, 2, S, BLOCK, BLOCK, P), dtype=np.float32)
-        out[:, 0, ..., : Ly * Lz] = d.real
-        out[:, 1, ..., : Ly * Lz] = d.imag
+        out = np.zeros((Lx, 2, S, BLOCK, BLOCK, P), dtype=np_dtype)
+        out[:, 0, ..., : Ly * Lz] = d.real.astype(np_dtype)
+        out[:, 1, ..., : Ly * Lz] = d.imag.astype(np_dtype)
         return jnp.asarray(out.reshape(Lx, 2 * S * BLOCK * BLOCK, P))
     d = data.reshape(Lx, Ly * Lz, S, BLOCK, BLOCK)
     d = jnp.moveaxis(d, 1, -1)  # [Lx, S, 4, 4, plane]
-    out = jnp.zeros((Lx, 2, S, BLOCK, BLOCK, P), dtype=jnp.float32)
-    out = out.at[:, 0, :, :, :, : Ly * Lz].set(jnp.real(d).astype(jnp.float32))
-    out = out.at[:, 1, :, :, :, : Ly * Lz].set(jnp.imag(d).astype(jnp.float32))
+    jdt = jnp.float32 if np_dtype is np.float32 else jnp.bfloat16
+    out = jnp.zeros((Lx, 2, S, BLOCK, BLOCK, P), dtype=jdt)
+    out = out.at[:, 0, :, :, :, : Ly * Lz].set(jnp.real(d).astype(jdt))
+    out = out.at[:, 1, :, :, :, : Ly * Lz].set(jnp.imag(d).astype(jdt))
     return out.reshape(Lx, 2 * S * BLOCK * BLOCK, P)
 
 
@@ -493,91 +500,147 @@ def _unpack_vector_planes(vp, sk: Skeleton, K: int, dtype, lo: Layout):
     return cplx.reshape(Lx * Ly * Lz, BLOCK, K).astype(dtype)
 
 
-def _plane_stencil_kernel(sk: Skeleton, K: int, P: int, b_ref, vm_ref, vc_ref, vp_ref, y_ref):
-    """One x-plane of the stencil product, all slots, complex via re/im."""
-    Lx, Ly, Lz = sk.shape
-    S = sk.n_slots
+def _pick_xb(Lx: int, S: int, K: int, P: int, vmem_budget: int = 12 * 2**20) -> int:
+    """Planes per grid step for the blocked plane kernels.
 
-    b = b_ref[0].astype(jnp.float32).reshape(2, S, BLOCK, BLOCK, P)
-    vc = vc_ref[0].reshape(2, BLOCK, K, P)
-    vm = vm_ref[0].reshape(2, BLOCK, K, P)
-    vp = vp_ref[0].reshape(2, BLOCK, K, P)
+    One plane per step makes the pipeline overhead dominate at large Lx
+    (measured 17% of roof at 1000×1000 vs 79% for the flat layout), so we
+    process XB planes per step.  XB must divide Lx (the circular ±x index
+    maps and the in-block shift-by-concat are only exact without padding),
+    and the per-step working set (operator + 3 vector blocks + outputs,
+    double-buffered) must fit comfortably in VMEM.
+    """
+    step_rows = 2 * S * 16 + 4 * (2 * BLOCK * K) + _pp_rows(K)
+    for xb in (8, 7, 6, 5, 4, 3, 2):
+        if Lx % xb == 0 and 2 * xb * step_rows * P * 4 <= vmem_budget:
+            return xb
+    return 1
 
+
+def _shifted_plane_rows(sk: Skeleton, P: int, flat, col, axis: int, d: int):
+    """In-plane neighbor values with exact periodic wrap, on [rows, P].
+
+    The plane is flattened as p = y·Lz + z: a y-shift is a lane roll by
+    ±Lz and a z-shift a roll by ±1, each exact away from its own boundary;
+    boundary lanes take a wrap roll instead (select), which keeps periodic
+    links exact even under zero padding.  ``pltpu.roll`` requires
+    non-negative shifts; −s ≡ P−s over the padded circular axis.
+    """
+    _, Ly, Lz = sk.shape
+    if axis == 1:  # y: stride-Lz roll
+        main = pltpu.roll(flat, (-d * Lz) % P, 1)
+        wrap = pltpu.roll(flat, (d * (Ly - 1) * Lz) % P, 1)
+        boundary = (col >= (Ly - 1) * Lz) if d > 0 else (col < Lz)
+    else:  # z: unit roll within each y-cell
+        main = pltpu.roll(flat, (-d) % P, 1)
+        wrap = pltpu.roll(flat, (d * (Lz - 1)) % P, 1)
+        boundary = (col % Lz == Lz - 1) if d > 0 else (col % Lz == 0)
+    return jnp.where(boundary, wrap, main)
+
+
+def _vrow(v, K: int, c: int, bb: int):
+    """Rows of a flat-packed vector ``[*, 2·4·K, P]`` for (re/im c, orbital
+    bb): the contiguous K probe rows — no reshape, no retiling."""
+    start = (c * BLOCK + bb) * K
+    return v[:, start : start + K, :]
+
+
+def _plane_stencil_body(sk: Skeleton, K: int, P: int, XB: int, bload, vm, vc, vp):
+    """Stencil product for a block of XB x-planes (re/im f32 arithmetic).
+
+    All operands stay in their FLAT packed row layouts — ``vc: [XB, 2·4K, P]``
+    (the block's own planes), ``vm``/``vp: [1, 2·4K, P]`` (one halo plane per
+    side) — and the operator is read row-by-row through ``bload(c, s, a, bb)
+    → [XB, P]``.  Multi-axis reshapes of the big operator block make Mosaic
+    materialize retiled copies on the kernel stack (41 MB of scoped VMEM at
+    P=1024, XB=4 — an OOM); row slicing keeps every temporary at one
+    vreg-shaped array, exactly like the flat kernel's inner loop.
+    Returns ``[XB, 2·4K, P]``.
+    """
+    Rv = 2 * BLOCK * K
     col = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
 
-    def roll_lanes(x, shift):
-        # pltpu.roll requires non-negative shifts; −s ≡ P−s over the padded
-        # circular axis.
-        return pltpu.roll(x, shift % P, 1)
+    # ±x neighbors of every plane in the block: interior planes shift
+    # within the block (sublane-axis concat), edge planes take the halo.
+    if XB > 1:
+        v_xm = jnp.concatenate([vm, vc[: XB - 1]], axis=0)
+        v_xp = jnp.concatenate([vc[1:], vp], axis=0)
+    else:
+        v_xm, v_xp = vm, vp
 
-    def shifted_plane(v, axis, d):
-        """In-plane neighbor values with exact periodic wrap.
-
-        The plane is flattened as p = y·Lz + z: a y-shift is a lane roll by
-        ±Lz and a z-shift a roll by ±1, each exact away from its own
-        boundary; boundary lanes take a wrap roll instead (select), which
-        keeps periodic links exact even under zero padding.
-        """
-        flat = v.reshape(2 * BLOCK * K, P)
-        if axis == 1:  # y: stride-Lz roll
-            main = roll_lanes(flat, -d * Lz)
-            wrap = roll_lanes(flat, d * (Ly - 1) * Lz)
-            boundary = (col >= (Ly - 1) * Lz) if d > 0 else (col < Lz)
-        else:  # z: unit roll within each y-cell
-            main = roll_lanes(flat, -d)
-            wrap = roll_lanes(flat, d * (Lz - 1))
-            boundary = (col % Lz == Lz - 1) if d > 0 else (col % Lz == 0)
-        out = jnp.where(boundary, wrap, main)
-        return out.reshape(2, BLOCK, K, P)
-
-    acc_re = jnp.zeros((BLOCK, K, P), dtype=jnp.float32)
-    acc_im = jnp.zeros((BLOCK, K, P), dtype=jnp.float32)
+    acc_re = [jnp.zeros((XB, K, P), dtype=jnp.float32) for _ in range(BLOCK)]
+    acc_im = [jnp.zeros((XB, K, P), dtype=jnp.float32) for _ in range(BLOCK)]
 
     for s, (axis, d) in enumerate(sk.slots):
         if axis < 0:
             src = vc
         elif axis == 0:
-            src = vp if d > 0 else vm
-        else:  # axis 1 or 2: in-plane lane shift
-            src = shifted_plane(vc, axis, d)
+            src = v_xp if d > 0 else v_xm
+        else:  # axis 1 or 2: in-plane lane shift (collapse is layout-free)
+            flat = vc.reshape(XB * Rv, P)
+            src = _shifted_plane_rows(sk, P, flat, col, axis, d).reshape(XB, Rv, P)
 
-        br, bi = b[0, s], b[1, s]  # [4, 4, P]
-        sr, si = src[0], src[1]  # [4, K, P]
-        # y[a] += Σ_b B[a,b] · v[b]  (complex, broadcast over K and lanes)
-        acc_re = acc_re + jnp.sum(
-            br[:, :, None, :] * sr[None, :, :, :] - bi[:, :, None, :] * si[None, :, :, :],
-            axis=1,
-        )
-        acc_im = acc_im + jnp.sum(
-            br[:, :, None, :] * si[None, :, :, :] + bi[:, :, None, :] * sr[None, :, :, :],
-            axis=1,
-        )
+        for bb in range(BLOCK):
+            sr = _vrow(src, K, 0, bb)  # [XB, K, P]
+            si = _vrow(src, K, 1, bb)
+            for a in range(BLOCK):
+                br = bload(0, s, a, bb)[:, None, :]  # [XB, 1, P] → bcast over K
+                bi = bload(1, s, a, bb)[:, None, :]
+                acc_re[a] = acc_re[a] + br * sr - bi * si
+                acc_im[a] = acc_im[a] + br * si + bi * sr
 
-    y = jnp.stack([acc_re, acc_im]).reshape(1, 2 * BLOCK * K, P)
-    y_ref[...] = y
+    # Row order of the packed layout: (c, a, k).
+    return jnp.concatenate(acc_re + acc_im, axis=1)  # [XB, 2·4K, P]
+
+
+def _bload_from_ref(b_ref, sk: Skeleton):
+    """Operator row reader: packed row index is ((c·S + s)·4 + a)·4 + bb."""
+    S = sk.n_slots
+
+    def bload(c, s, a, bb):
+        r = ((c * S + s) * BLOCK + a) * BLOCK + bb
+        return b_ref[:, r, :].astype(jnp.float32)
+
+    return bload
+
+
+def _plane_stencil_kernel(
+    sk: Skeleton, K: int, P: int, XB: int, b_ref, vm_ref, vc_ref, vp_ref, y_ref
+):
+    """Blocked stencil product, circular ±x index maps (single device)."""
+    y_ref[...] = _plane_stencil_body(
+        sk, K, P, XB, _bload_from_ref(b_ref, sk), vm_ref[...], vc_ref[...], vp_ref[...]
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("sk", "K"))
 def _plane_spmm(b_packed, v_packed, sk: Skeleton, K: int):
-    """Packed-layout stencil SpMM: ``[Lx, 2·4K, P] → [Lx, 2·4K, P]``."""
+    """Packed-layout stencil SpMM: ``[Lx, 2·4K, P] → [Lx, 2·4K, P]``.
+
+    The grid walks BLOCKS of XB planes; the ±x halo planes arrive as
+    single-plane inputs through circular element-granular index maps, and
+    the vector is fetched ≈(1 + 2/XB)× instead of 3× per application.
+    """
     Lx, Ly, Lz = sk.shape
     S = sk.n_slots
     P = b_packed.shape[-1]
+    XB = _pick_xb(Lx, S, K, P)
+    Rv = 2 * BLOCK * K
 
-    grid = (Lx,)
-    b_spec = pl.BlockSpec((1, 2 * S * 16, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    grid = (Lx // XB,)
+    b_spec = pl.BlockSpec((XB, 2 * S * 16, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     vm_spec = pl.BlockSpec(
-        (1, 2 * BLOCK * K, P), lambda i: ((i - 1) % Lx, 0, 0), memory_space=pltpu.VMEM
+        (1, Rv, P), lambda i: ((XB * i - 1) % Lx, 0, 0), memory_space=pltpu.VMEM
     )
-    vc_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vc_spec = pl.BlockSpec((XB, Rv, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     vp_spec = pl.BlockSpec(
-        (1, 2 * BLOCK * K, P), lambda i: ((i + 1) % Lx, 0, 0), memory_space=pltpu.VMEM
+        (1, Rv, P), lambda i: ((XB * i + XB) % Lx, 0, 0), memory_space=pltpu.VMEM
     )
-    out_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((XB, Rv, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
-    bytes_moved = (b_packed.size + 4 * v_packed.size) * 4
+    bytes_moved = b_packed.size * b_packed.dtype.itemsize + ((2 + 2 * Lx // XB) * Rv * P + v_packed.size) * 4
     return pl.pallas_call(
-        functools.partial(_plane_stencil_kernel, sk, K, P),
+        functools.partial(_plane_stencil_kernel, sk, K, P, XB),
         grid=grid,
         in_specs=[b_spec, vm_spec, vc_spec, vp_spec],
         out_specs=out_spec,
@@ -587,86 +650,56 @@ def _plane_spmm(b_packed, v_packed, sk: Skeleton, K: int):
             bytes_accessed=bytes_moved,
             transcendentals=0,
         ),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
         interpret=_interpret(),
     )(b_packed, v_packed, v_packed, v_packed)
 
 
-def _plane_cheb_kernel(
-    sk: Skeleton, K: int, P: int, b_ref, vm_ref, vc_ref, vp_ref, tp_ref, inv_ref,
-    y_ref, pp_ref
-):
-    """One x-plane of a fused Chebyshev step + moment partials.
+def _cheb_tail(sk: Skeleton, K: int, P: int, XB: int, hv, vc, tp, inv, y_ref, pp_ref):
+    """Shared tail of the fused Chebyshev kernels: recursion update + moment
+    partials, all in the flat row layout.
 
-    Computes ``t_next = 2·inv·(H t_cur) − t_prev`` for the plane AND the
-    plane's contributions to the doubled-moment inner products
-    ``⟨t_cur, t_cur⟩`` and ``⟨t_next, t_cur⟩`` — so a KPM moment sweep needs
-    no additional reads of the vectors outside this kernel.
+    Moment partials per plane, kept PER LANE: rows 0..K-1 = ⟨t_cur,t_cur⟩,
+    rows K..2K-1 = ⟨t_next,t_cur⟩ (padded lanes are zero).  The lane
+    reduction happens outside the kernel — cross-lane reductions are slow
+    on the VPU (measured ~2× the kernel runtime on the flat layout), and
+    an in-kernel scatter placement does not lower in Mosaic.
     """
-    Lx, Ly, Lz = sk.shape
-    S = sk.n_slots
+    t_next = 2.0 * inv * hv - tp  # [XB, 2·4K, P]
+    y_ref[...] = t_next
 
-    b = b_ref[0].astype(jnp.float32).reshape(2, S, BLOCK, BLOCK, P)
-    vc = vc_ref[0].reshape(2, BLOCK, K, P)
-    vm = vm_ref[0].reshape(2, BLOCK, K, P)
-    vp = vp_ref[0].reshape(2, BLOCK, K, P)
-    tp = tp_ref[0].reshape(2, BLOCK, K, P)
-    inv = inv_ref[0, 0]
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-
-    def roll_lanes(x, shift):
-        return pltpu.roll(x, shift % P, 1)
-
-    def shifted_plane(v, axis, d):
-        flat = v.reshape(2 * BLOCK * K, P)
-        if axis == 1:
-            main = roll_lanes(flat, -d * Lz)
-            wrap = roll_lanes(flat, d * (Ly - 1) * Lz)
-            boundary = (col >= (Ly - 1) * Lz) if d > 0 else (col < Lz)
-        else:
-            main = roll_lanes(flat, -d)
-            wrap = roll_lanes(flat, d * (Lz - 1))
-            boundary = (col % Lz == Lz - 1) if d > 0 else (col % Lz == 0)
-        out = jnp.where(boundary, wrap, main)
-        return out.reshape(2, BLOCK, K, P)
-
-    acc_re = jnp.zeros((BLOCK, K, P), dtype=jnp.float32)
-    acc_im = jnp.zeros((BLOCK, K, P), dtype=jnp.float32)
-
-    for s, (axis, d) in enumerate(sk.slots):
-        if axis < 0:
-            src = vc
-        elif axis == 0:
-            src = vp if d > 0 else vm
-        else:
-            src = shifted_plane(vc, axis, d)
-
-        br, bi = b[0, s], b[1, s]
-        sr, si = src[0], src[1]
-        acc_re = acc_re + jnp.sum(
-            br[:, :, None, :] * sr[None, :, :, :] - bi[:, :, None, :] * si[None, :, :, :],
-            axis=1,
-        )
-        acc_im = acc_im + jnp.sum(
-            br[:, :, None, :] * si[None, :, :, :] + bi[:, :, None, :] * sr[None, :, :, :],
-            axis=1,
-        )
-
-    t_next = jnp.stack(
-        [2.0 * inv * acc_re - tp[0], 2.0 * inv * acc_im - tp[1]]
-    )  # [2, 4, K, P]
-    y_ref[...] = t_next.reshape(1, 2 * BLOCK * K, P)
-
-    # Moment partials for this plane, kept PER LANE: rows 0..K-1 =
-    # ⟨t_cur,t_cur⟩, rows K..2K-1 = ⟨t_next,t_cur⟩ (padded lanes are zero).
-    # The lane reduction happens outside the kernel — cross-lane reductions
-    # are slow on the VPU (measured ~2× the kernel runtime on the flat
-    # layout), and an in-kernel scatter placement does not lower in Mosaic.
-    cc = jnp.sum(vc[0] * vc[0] + vc[1] * vc[1], axis=0)  # [K, P]
-    nc = jnp.sum(t_next[0] * vc[0] + t_next[1] * vc[1], axis=0)  # [K, P]
+    cc = jnp.zeros((XB, K, P), dtype=jnp.float32)
+    nc = jnp.zeros((XB, K, P), dtype=jnp.float32)
+    for c in (0, 1):
+        for bb in range(BLOCK):
+            v = _vrow(vc, K, c, bb)
+            cc = cc + v * v
+            nc = nc + _vrow(t_next, K, c, bb) * v
     rows = _pp_rows(K)
-    pads = [jnp.zeros((rows - 2 * K, P), jnp.float32)] if rows > 2 * K else []
-    pp_ref[...] = jnp.concatenate([cc, nc] + pads, axis=0).reshape(1, rows, P)
+    pads = (
+        [jnp.zeros((XB, rows - 2 * K, P), jnp.float32)] if rows > 2 * K else []
+    )
+    pp_ref[...] = jnp.concatenate([cc, nc] + pads, axis=1)
+
+
+def _plane_cheb_kernel(
+    sk: Skeleton, K: int, P: int, XB: int, b_ref, vm_ref, vc_ref, vp_ref, tp_ref,
+    inv_ref, y_ref, pp_ref
+):
+    """A block of XB x-planes of a fused Chebyshev step + moment partials.
+
+    Computes ``t_next = 2·inv·(H t_cur) − t_prev`` for the block AND its
+    contributions to the doubled-moment inner products ``⟨t_cur, t_cur⟩``
+    and ``⟨t_next, t_cur⟩`` — so a KPM moment sweep needs no additional
+    reads of the vectors outside this kernel.
+    """
+    vc = vc_ref[...]
+    hv = _plane_stencil_body(
+        sk, K, P, XB, _bload_from_ref(b_ref, sk), vm_ref[...], vc, vp_ref[...]
+    )
+    _cheb_tail(sk, K, P, XB, hv, vc, tp_ref[...], inv_ref[0, 0], y_ref, pp_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("sk", "K"))
@@ -675,28 +708,30 @@ def _plane_cheb_step(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
     Lx, Ly, Lz = sk.shape
     S = sk.n_slots
     P = b_packed.shape[-1]
+    XB = _pick_xb(Lx, S, K, P)
+    Rv = 2 * BLOCK * K
 
-    grid = (Lx,)
-    b_spec = pl.BlockSpec((1, 2 * S * 16, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    grid = (Lx // XB,)
+    b_spec = pl.BlockSpec((XB, 2 * S * 16, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     vm_spec = pl.BlockSpec(
-        (1, 2 * BLOCK * K, P), lambda i: ((i - 1) % Lx, 0, 0), memory_space=pltpu.VMEM
+        (1, Rv, P), lambda i: ((XB * i - 1) % Lx, 0, 0), memory_space=pltpu.VMEM
     )
-    vc_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vc_spec = pl.BlockSpec((XB, Rv, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     vp_spec = pl.BlockSpec(
-        (1, 2 * BLOCK * K, P), lambda i: ((i + 1) % Lx, 0, 0), memory_space=pltpu.VMEM
+        (1, Rv, P), lambda i: ((XB * i + XB) % Lx, 0, 0), memory_space=pltpu.VMEM
     )
-    tp_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    tp_spec = pl.BlockSpec((XB, Rv, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     inv_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     rows = _pp_rows(K)
     out_specs = (
-        pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, rows, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((XB, Rv, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((XB, rows, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     )
 
-    bytes_moved = (b_packed.size + 3 * t_cur.size + 2 * t_prev.size) * 4
+    bytes_moved = b_packed.size * b_packed.dtype.itemsize + (2 * t_cur.size + t_prev.size) * 4
     inv_arr = jnp.asarray(inv, jnp.float32).reshape(1, 1)
     t_next, pp = pl.pallas_call(
-        functools.partial(_plane_cheb_kernel, sk, K, P),
+        functools.partial(_plane_cheb_kernel, sk, K, P, XB),
         grid=grid,
         in_specs=[b_spec, vm_spec, vc_spec, vp_spec, tp_spec, inv_spec],
         out_specs=out_specs,
@@ -709,6 +744,9 @@ def _plane_cheb_step(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
             bytes_accessed=bytes_moved,
             transcendentals=0,
         ),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
         interpret=_interpret(),
     )(b_packed, t_cur, t_cur, t_cur, t_prev, inv_arr)
     # Lane reduction of the per-lane partials in XLA (tiny array).
@@ -718,80 +756,125 @@ def _plane_cheb_step(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
 # ===========================================================================
 # Plane layout, halo form (row-sharded local slabs).
 # ===========================================================================
-# The sharded SpMM partitions x-planes over a device mesh; each device's
-# local operand is extended by ONE halo plane per side (delivered by a
-# `ppermute` ring in the caller — bodge_tpu/parallel/pallas_sharded.py).
-# These wrappers run the *same* kernel bodies as the single-device plane
-# path, but read vm/vc/vp from the extended operand ``v_ext[Lxl + 2]`` with
-# shifted (non-modular) index maps: plane i's −x neighbor is v_ext[i], the
-# plane itself v_ext[i+1], its +x neighbor v_ext[i+2].  The ring wrap
-# delivers the periodic partner planes at the global boundary, so periodic
-# and open boundaries work unmodified (open wrap blocks are structural
-# zeros).
+# The sharded SpMM partitions x-planes over a device mesh; the ONE plane of
+# neighbor data needed per side is delivered by a `ppermute` ring in the
+# caller (bodge_tpu/parallel/pallas_sharded.py) as separate single-plane
+# arrays ``hm``/``hp`` — NOT concatenated into an extended operand, which
+# would copy the whole slab every step.  The kernels walk blocks of XB
+# planes like the single-device path; the first/last grid step swaps its
+# out-of-range ±x input for the halo plane (a predicated select — both
+# candidate planes are tiny).  The ring wrap delivers the periodic partner
+# planes at the global boundary, so periodic and open boundaries work
+# unmodified (open wrap blocks are structural zeros).
+
+
+def _plane_stencil_kernel_halo(
+    sk: Skeleton, K: int, P: int, XB: int, nb: int,
+    b_ref, vm_ref, vc_ref, vp_ref, hm_ref, hp_ref, y_ref
+):
+    i = pl.program_id(0)
+    vm = jnp.where(i == 0, hm_ref[...], vm_ref[...])
+    vp = jnp.where(i == nb - 1, hp_ref[...], vp_ref[...])
+    y_ref[...] = _plane_stencil_body(
+        sk, K, P, XB, _bload_from_ref(b_ref, sk), vm, vc_ref[...], vp
+    )
+
+
+def _halo_specs(Lxl: int, XB: int, S: int, K: int, P: int):
+    Rv = 2 * BLOCK * K
+    b_spec = pl.BlockSpec((XB, 2 * S * 16, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    # Interior ±x planes come from the local slab with CLAMPED element maps;
+    # the out-of-range fetch at the first/last step is discarded by the
+    # kernel's predicated select in favor of the halo plane.
+    vm_spec = pl.BlockSpec(
+        (1, Rv, P), lambda i: (jnp.maximum(XB * i - 1, 0), 0, 0), memory_space=pltpu.VMEM
+    )
+    vc_spec = pl.BlockSpec((XB, Rv, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vp_spec = pl.BlockSpec(
+        (1, Rv, P),
+        lambda i: (jnp.minimum(XB * i + XB, Lxl - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h_spec = pl.BlockSpec((1, Rv, P), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    return b_spec, vm_spec, vc_spec, vp_spec, h_spec
 
 
 @functools.partial(jax.jit, static_argnames=("sk", "K", "Lxl"))
-def _plane_spmm_halo(b_local, v_ext, sk: Skeleton, K: int, Lxl: int):
-    """Local-slab stencil SpMM: ``[Lxl+2, 2·4K, P] → [Lxl, 2·4K, P]``."""
+def _plane_spmm_halo(b_local, v_local, hm, hp, sk: Skeleton, K: int, Lxl: int):
+    """Local-slab stencil SpMM: ``[Lxl, 2·4K, P] (+2 halo planes) → [Lxl, …]``."""
     S = sk.n_slots
     P = b_local.shape[-1]
+    XB = _pick_xb(Lxl, S, K, P)
+    nb = Lxl // XB
+    Rv = 2 * BLOCK * K
 
-    grid = (Lxl,)
-    b_spec = pl.BlockSpec((1, 2 * S * 16, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    vm_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    vc_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i + 1, 0, 0), memory_space=pltpu.VMEM)
-    vp_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i + 2, 0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    b_spec, vm_spec, vc_spec, vp_spec, h_spec = _halo_specs(Lxl, XB, S, K, P)
+    out_spec = pl.BlockSpec((XB, Rv, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
-    bytes_moved = (b_local.size + 4 * Lxl * 2 * BLOCK * K * P) * 4
+    bytes_moved = b_local.size * b_local.dtype.itemsize + 2 * v_local.size * 4
     return pl.pallas_call(
-        functools.partial(_plane_stencil_kernel, sk, K, P),
-        grid=grid,
-        in_specs=[b_spec, vm_spec, vc_spec, vp_spec],
+        functools.partial(_plane_stencil_kernel_halo, sk, K, P, XB, nb),
+        grid=(nb,),
+        in_specs=[b_spec, vm_spec, vc_spec, vp_spec, h_spec, h_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((Lxl, 2 * BLOCK * K, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Lxl, Rv, P), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * (sk.nnz_blocks // max(1, sk.shape[0] // Lxl)) * BLOCK * BLOCK * K * 4,
             bytes_accessed=bytes_moved,
             transcendentals=0,
         ),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
         interpret=_interpret(),
-    )(b_local, v_ext, v_ext, v_ext)
+    )(b_local, v_local, v_local, v_local, hm, hp)
+
+
+def _plane_cheb_kernel_halo(
+    sk: Skeleton, K: int, P: int, XB: int, nb: int,
+    b_ref, vm_ref, vc_ref, vp_ref, hm_ref, hp_ref, tp_ref, inv_ref, y_ref, pp_ref
+):
+    i = pl.program_id(0)
+    vm = jnp.where(i == 0, hm_ref[...], vm_ref[...])
+    vp = jnp.where(i == nb - 1, hp_ref[...], vp_ref[...])
+    vc = vc_ref[...]
+    hv = _plane_stencil_body(sk, K, P, XB, _bload_from_ref(b_ref, sk), vm, vc, vp)
+    _cheb_tail(sk, K, P, XB, hv, vc, tp_ref[...], inv_ref[0, 0], y_ref, pp_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("sk", "K", "Lxl"))
-def _plane_cheb_step_halo(b_local, v_ext, t_prev, inv, sk: Skeleton, K: int, Lxl: int):
+def _plane_cheb_step_halo(b_local, v_local, hm, hp, t_prev, inv, sk: Skeleton, K: int, Lxl: int):
     """Local-slab fused Chebyshev step: ``(t_next[Lxl], partials[Lxl, 2K])``.
 
-    ``v_ext: [Lxl+2, 2·4K, P]`` is the halo-extended t_cur; ``t_prev`` is
-    the plain local slab.  Partials are per-plane (caller psums over the
-    mesh axis after the local plane sum).
+    ``v_local: [Lxl, 2·4K, P]`` is the local t_cur slab; ``hm``/``hp`` the
+    single ppermute-delivered halo plane per side; ``t_prev`` the plain
+    local slab.  Partials are per-plane (caller psums over the mesh axis
+    after the local plane sum).
     """
     S = sk.n_slots
     P = b_local.shape[-1]
+    XB = _pick_xb(Lxl, S, K, P)
+    nb = Lxl // XB
+    Rv = 2 * BLOCK * K
 
-    grid = (Lxl,)
-    b_spec = pl.BlockSpec((1, 2 * S * 16, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    vm_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    vc_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i + 1, 0, 0), memory_space=pltpu.VMEM)
-    vp_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i + 2, 0, 0), memory_space=pltpu.VMEM)
-    tp_spec = pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    b_spec, vm_spec, vc_spec, vp_spec, h_spec = _halo_specs(Lxl, XB, S, K, P)
+    tp_spec = pl.BlockSpec((XB, Rv, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     inv_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     rows = _pp_rows(K)
     out_specs = (
-        pl.BlockSpec((1, 2 * BLOCK * K, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, rows, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((XB, Rv, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((XB, rows, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     )
 
-    bytes_moved = (b_local.size + 3 * Lxl * 2 * BLOCK * K * P) * 4
+    bytes_moved = b_local.size * b_local.dtype.itemsize + 3 * v_local.size * 4
     inv_arr = jnp.asarray(inv, jnp.float32).reshape(1, 1)
     t_next, pp = pl.pallas_call(
-        functools.partial(_plane_cheb_kernel, sk, K, P),
-        grid=grid,
-        in_specs=[b_spec, vm_spec, vc_spec, vp_spec, tp_spec, inv_spec],
+        functools.partial(_plane_cheb_kernel_halo, sk, K, P, XB, nb),
+        grid=(nb,),
+        in_specs=[b_spec, vm_spec, vc_spec, vp_spec, h_spec, h_spec, tp_spec, inv_spec],
         out_specs=out_specs,
         out_shape=(
-            jax.ShapeDtypeStruct((Lxl, 2 * BLOCK * K, P), jnp.float32),
+            jax.ShapeDtypeStruct((Lxl, Rv, P), jnp.float32),
             jax.ShapeDtypeStruct((Lxl, rows, P), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
@@ -799,8 +882,11 @@ def _plane_cheb_step_halo(b_local, v_ext, t_prev, inv, sk: Skeleton, K: int, Lxl
             bytes_accessed=bytes_moved,
             transcendentals=0,
         ),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
         interpret=_interpret(),
-    )(b_local, v_ext, v_ext, v_ext, t_prev, inv_arr)
+    )(b_local, v_local, v_local, v_local, hm, hp, t_prev, inv_arr)
     return t_next, jnp.sum(pp[:, : 2 * K, :], axis=-1)
 
 
@@ -818,12 +904,10 @@ def pack_operator(data, sk: Skeleton, K: int = 4, operator_dtype=None, layout: L
     automatic choice.
     """
     lo = layout or plan(sk, K)
+    dtype = operator_dtype if operator_dtype is not None else np.float32
     if lo.mode == "flat":
-        dtype = operator_dtype if operator_dtype is not None else np.float32
         return _pack_operator_flat(data, sk, lo, dtype=dtype)
-    if operator_dtype not in (None, np.float32, jnp.float32):
-        raise ValueError("reduced-precision operator storage requires the flat layout")
-    return _pack_operator_planes(data, sk, lo)
+    return _pack_operator_planes(data, sk, lo, dtype=dtype)
 
 
 def pack_vector(v, sk: Skeleton, layout: Layout = None):

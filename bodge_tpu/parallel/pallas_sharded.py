@@ -91,14 +91,16 @@ def pack_vector_sharded(rs: RowSharding, v):
     return jax.device_put(packed, NamedSharding(rs.mesh, P(AXIS)))
 
 
-def _halo_extend(t_local, n_shards: int):
-    """Local slab ``[Lxl, rows, P]`` → ``[Lxl+2, rows, P]`` with neighbor
-    halo planes at both ends (ring ppermute; wrap = periodic partner)."""
+def _halo_planes(t_local, n_shards: int):
+    """Neighbor halo planes ``(hm, hp)``, each ``[1, rows, P]`` (ring
+    ppermute; wrap = periodic partner).  Passed to the kernel as separate
+    arrays — concatenating them onto the slab would copy the whole local
+    vector every step."""
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-    lo_plane = lax.ppermute(t_local[-1:], AXIS, perm=fwd)
-    hi_plane = lax.ppermute(t_local[:1], AXIS, perm=bwd)
-    return jnp.concatenate([lo_plane, t_local, hi_plane], axis=0)
+    hm = lax.ppermute(t_local[-1:], AXIS, perm=fwd)
+    hp = lax.ppermute(t_local[:1], AXIS, perm=bwd)
+    return hm, hp
 
 
 @partial(jax.jit, static_argnames=("rs", "K"))
@@ -107,8 +109,8 @@ def _spmm_pallas_sharded_jit(rs: RowSharding, b_sh, v_sh, K: int):
     Lxl = sk.shape[0] // n
 
     def local(b_l, v_l):
-        v_ext = _halo_extend(v_l, n)
-        return _plane_spmm_halo(b_l, v_ext, sk, K, Lxl)
+        hm, hp = _halo_planes(v_l, n)
+        return _plane_spmm_halo(b_l, v_l, hm, hp, sk, K, Lxl)
 
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes
     # annotation, and the kernel is manually sharded by construction.
@@ -143,8 +145,8 @@ def _moments_pallas_sharded_jit(rs: RowSharding, b_sh, v0_sh, inv, order: int, K
 
     def local(b_l, v_l, inv_l):
         def fused(t_cur, t_prev, step_inv):
-            v_ext = _halo_extend(t_cur, n)
-            t_next, pp = _plane_cheb_step_halo(b_l, v_ext, t_prev, step_inv, sk, K, Lxl)
+            hm, hp = _halo_planes(t_cur, n)
+            t_next, pp = _plane_cheb_step_halo(b_l, t_cur, hm, hp, t_prev, step_inv, sk, K, Lxl)
             sums = lax.psum(jnp.sum(pp, axis=0), AXIS)  # [2K]
             return t_next, sums[:K], sums[K:]
 
@@ -207,8 +209,8 @@ def chebyshev_scan_sharded(rs: RowSharding, b_sh, v_sh, inv, steps: int, K: int)
     def local(b_l, v_l, inv_l):
         def step(carry, _):
             t_prev, t_cur = carry
-            v_ext = _halo_extend(t_cur, n)
-            t_next, _pp = _plane_cheb_step_halo(b_l, v_ext, t_prev, inv_l, sk, K, Lxl)
+            hm, hp = _halo_planes(t_cur, n)
+            t_next, _pp = _plane_cheb_step_halo(b_l, t_cur, hm, hp, t_prev, inv_l, sk, K, Lxl)
             return (t_cur, t_next), None
 
         (_, out), _ = lax.scan(step, (v_l, v_l), None, length=steps)

@@ -115,6 +115,27 @@ def test_pallas_sharded_moments_match_single_device(pbc):
     np.testing.assert_allclose(got, want, atol=3e-4)
 
 
+@pytest.mark.parametrize("pbc", [False, True])
+def test_pallas_sharded_moments_multiblock_slab(pbc):
+    """Lxl=16 per shard → XB=8, nb=2: covers the blocked halo kernel's
+    clamped interior index maps AND the first/last-block halo predication
+    in the same run."""
+    mesh = row_mesh()
+    lattice, system = build_system((128, 5, 1), pbc=pbc, seed=13)
+    rs = RowSharding(system.skeleton, mesh)
+    sk = system.skeleton
+    a = kpm.spectral_bound(system.host_data(), sk, impl="stencil")
+
+    N = lattice.size
+    v0 = np.zeros((N, 4, 4), dtype=system.dtype)
+    v0[lattice[(64, 2, 0)], np.arange(4), np.arange(4)] = 1.0
+
+    order = 32
+    want = np.asarray(kpm.moments(system.host_data(), sk, v0, order, a, impl="stencil"))
+    got = np.asarray(moments_sharded_pallas(rs, system.host_data(), v0, order, a))
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
 def test_pallas_sharded_free_energy_matches_single_device():
     mesh = row_mesh()
     lattice, system = build_system((16, 4, 1))

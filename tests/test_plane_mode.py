@@ -46,7 +46,20 @@ def force_planes(monkeypatch):
     monkeypatch.setattr(pk, "FLAT_VECTOR_VMEM_MAX", 0)
 
 
-@pytest.mark.parametrize("shape,pbc", [((7, 6, 1), False), ((7, 6, 1), True), ((5, 3, 2), True)])
+@pytest.mark.parametrize(
+    "shape,pbc",
+    [
+        ((7, 6, 1), False),
+        ((7, 6, 1), True),
+        ((5, 3, 2), True),
+        # Multi-block grids: Lx=12 → XB=6 (nb=2), Lx=16 → XB=8 (nb=2),
+        # and a prime Lx=11 → XB=1 (per-plane grid, nb=11).  These cover
+        # the inter-block ±x index maps (circular wrap across block edges).
+        ((12, 6, 1), True),
+        ((16, 5, 1), False),
+        ((11, 4, 1), True),
+    ],
+)
 def test_plane_spmm_matches_stencil(force_planes, shape, pbc):
     lattice, system = build_system(shape, pbc=pbc)
     sk = system.skeleton
@@ -64,8 +77,9 @@ def test_plane_spmm_matches_stencil(force_planes, shape, pbc):
     assert np.allclose(got, want, atol=2e-4, rtol=2e-4)
 
 
-def test_plane_fused_moments_match_stencil(force_planes):
-    lattice, system = build_system((9, 5, 1), pbc=True, seed=8)
+@pytest.mark.parametrize("shape", [(9, 5, 1), (12, 5, 1)])  # nb=1 and nb=2
+def test_plane_fused_moments_match_stencil(force_planes, shape):
+    lattice, system = build_system(shape, pbc=True, seed=8)
     sk = system.skeleton
     K = 4
     assert pk.plan(sk, K).mode == "planes"
@@ -83,6 +97,28 @@ def test_plane_fused_moments_match_stencil(force_planes):
         pk.moments_pallas_fused(b_packed, v0p, sk, jnp.float32(1.0 / a), order, K)
     )
     np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_plane_bf16_operator_storage(force_planes):
+    """bf16 plane operator storage: same moments to within bf16 drift."""
+    import jax.numpy as jnp
+
+    lattice, system = build_system((12, 5, 1), pbc=True, seed=8)
+    sk = system.skeleton
+    K = 4
+    a = kpm.spectral_bound(system.host_data(), sk, impl="stencil")
+    N = lattice.size
+    v0 = np.zeros((N, 4, K), dtype=system.dtype)
+    v0[N // 2, np.arange(K), np.arange(K)] = 1.0
+    order = 24
+    v0p = pk.pack_vector(v0, sk)
+    b32 = pk.pack_operator(system.host_data(), sk, K)
+    b16 = pk.pack_operator(system.host_data(), sk, K, operator_dtype=jnp.bfloat16)
+    assert b16.dtype == jnp.bfloat16
+    mu32 = np.asarray(pk.moments_pallas_fused(b32, v0p, sk, jnp.float32(1.0 / a), order, K))
+    mu16 = np.asarray(pk.moments_pallas_fused(b16, v0p, sk, jnp.float32(1.0 / a), order, K))
+    drift = np.abs(mu16 - mu32).max() / max(np.abs(mu32).max(), 1e-9)
+    assert drift < 5e-2, drift  # bf16 has ~3 significant digits
 
 
 def test_plane_packed_inner_and_roundtrip(force_planes):
