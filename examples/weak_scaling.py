@@ -36,9 +36,28 @@ def main():
     ap.add_argument("--order", type=int, default=64)
     ap.add_argument("--samples", type=int, default=8)
     ap.add_argument("--temperature", type=float, default=0.1)
+    ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend with 8 virtual devices (overrides any "
+        "site-configured accelerator platform, which may clobber the "
+        "JAX_PLATFORMS environment variable)",
+    )
     args = ap.parse_args()
 
+    if args.cpu:
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from bodge_tpu.models.systems import swave_superconductor
     from bodge_tpu.parallel import RowSharding, free_energy_kpm_sharded, make_row_mesh
