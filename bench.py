@@ -32,6 +32,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 from functools import partial
 
@@ -313,6 +314,7 @@ def bench_diagonalize(sizes=(48, 64)):
         except Exception as e:
             entry["banded_error"] = f"{type(e).__name__}: {str(e)[:160]}"
         out.append(entry)
+        _flush_partial(out)  # each size survives a mid-section kill
     return out
 
 
@@ -510,7 +512,24 @@ SECTION_TIMEOUT_S = {
 }
 
 
+# Set by child_main; long multi-part sections flush completed measurements
+# here as they go, so a child killed by the parent's timeout/stall watchdog
+# still leaves its finished work on disk instead of losing the section.
+_PARTIAL_OUT = None
+
+
+def _flush_partial(result):
+    if _PARTIAL_OUT is None:
+        return
+    tmp = _PARTIAL_OUT + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(result, f)
+    os.replace(tmp, _PARTIAL_OUT)
+
+
 def child_main(section: str, out_path: str) -> int:
+    global _PARTIAL_OUT
+    _PARTIAL_OUT = out_path
     _child_imports()
     result = SECTIONS[section]()
     with open(out_path, "w") as f:
@@ -555,31 +574,80 @@ def wait_for_backend(max_wait_s=1200) -> bool:
         time.sleep(10)
 
 
+# A section that says NOTHING for this long is hung on a dead backend
+# (observed: a child stuck in a tunnelled remote-compile RPC for 14+ min
+# produces zero stderr).  Cold compiles through the tunnel log their
+# "compiling scan" line first and land within ~3 min, so 7 min of total
+# silence is unambiguous — kill early instead of burning the whole
+# section timeout.
+SECTION_STALL_S = 420
+
+
+def _run_child(cmd, timeout_s, stall_s=SECTION_STALL_S):
+    """Run one section subprocess, streaming its stderr through ours.
+
+    Returns ``(returncode, reason)`` with ``reason`` in
+    {"exit", "timeout", "stall"}; the child is killed for the latter two.
+    """
+    proc = subprocess.Popen(cmd, stderr=subprocess.PIPE)
+    last = [time.monotonic()]
+
+    def pump():
+        for line in proc.stderr:
+            last[0] = time.monotonic()
+            sys.stderr.buffer.write(line)
+            sys.stderr.flush()
+
+    threading.Thread(target=pump, daemon=True).start()
+    t0 = time.monotonic()
+    while True:
+        rc = proc.poll()
+        if rc is not None:
+            return rc, "exit"
+        now = time.monotonic()
+        if now - t0 > timeout_s or now - last[0] > stall_s:
+            reason = "stall" if now - last[0] > stall_s else "timeout"
+            proc.kill()
+            proc.wait()
+            return None, reason
+        time.sleep(2)
+
+
 def run_section(section: str, attempts: int = 2, deadline: float = None):
     timeout_s = SECTION_TIMEOUT_S.get(section, 900)
     if deadline is not None:
         # Never let one section run past the global deadline.
         timeout_s = max(60, min(timeout_s, deadline - time.monotonic()))
     out_path = f"/tmp/bodge_bench_{section}.json"
+    if os.path.exists(out_path):
+        os.unlink(out_path)  # stale result from an earlier bench run
     for i in range(attempts):
         if os.path.exists(out_path):
-            os.unlink(out_path)
+            # Partial flush from the previous attempt: keep as fallback.
+            os.replace(out_path, out_path + ".prev")
         log(f"[bench] section {section} (attempt {i + 1}/{attempts}, timeout {timeout_s}s)")
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--section", section,
-                 "--out", out_path],
-                timeout=timeout_s,
-            )
-        except subprocess.TimeoutExpired:
-            log(f"[bench] section {section} timed out (hung backend?); retrying")
+        rc, reason = _run_child(
+            [sys.executable, os.path.abspath(__file__), "--section", section,
+             "--out", out_path],
+            timeout_s,
+        )
+        if reason != "exit":
+            log(f"[bench] section {section} killed ({reason}; hung backend?); retrying")
             wait_for_backend(max_wait_s=600)
             continue
-        if r.returncode == 0 and os.path.exists(out_path):
+        if rc == 0 and os.path.exists(out_path):
             with open(out_path) as f:
                 return json.load(f)
-        log(f"[bench] section {section} exited rc={r.returncode}; retrying")
+        log(f"[bench] section {section} exited rc={rc}; retrying")
         wait_for_backend(max_wait_s=600)
+    for salvage in (out_path, out_path + ".prev"):
+        # The section never finished, but it may have flushed completed
+        # measurements before dying — salvage those rather than dropping
+        # the whole section.
+        if os.path.exists(salvage):
+            log(f"[bench] section {section} FAILED; salvaging partial result")
+            with open(salvage) as f:
+                return json.load(f)
     log(f"[bench] section {section} FAILED after {attempts} attempts")
     return None
 

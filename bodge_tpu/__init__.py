@@ -42,10 +42,21 @@ def _enable_persistent_compile_cache():
         if platforms != "cpu" and os.environ.get("BODGE_FORCE_CACHE") != "1":
             return
 
+        import hashlib
         import platform
         import socket
 
-        host = f"{platform.machine()}_{socket.gethostname()}"
+        # Key by CPU feature set, not just machine/hostname: containers
+        # share hostnames across physical hosts, and XLA:CPU AOT artifacts
+        # compiled for another host's features load with SIGILL warnings
+        # (observed: +prefer-no-scatter mismatch from a stale cache).
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next(l for l in f if l.startswith("flags"))
+            cpu_tag = hashlib.md5(flags.encode()).hexdigest()[:10]
+        except Exception:
+            cpu_tag = "generic"
+        host = f"{platform.machine()}_{socket.gethostname()}_{cpu_tag}"
         cache = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR", f"/tmp/bodge_tpu_jax_cache_{host}"
         )
