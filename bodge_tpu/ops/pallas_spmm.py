@@ -471,32 +471,40 @@ def _pack_operator_planes(data, sk: Skeleton, lo: Layout, dtype=np.float32):
 
 
 def _pack_vector_planes(v, sk: Skeleton, lo: Layout):
-    """Operand ``[N, 4, K]`` complex → packed ``[Lx, 2·4·K, P]`` float32."""
+    """Operand ``[N, 4, K]`` complex → packed ``[Lx, 4·2·K, P]`` float32.
+
+    Row order is **orbital-major** ``(b, re/im, k)`` — the same order as the
+    flat layout: each orbital's ``2K`` rows are contiguous, so with K=4 an
+    orbital slice ``[XB, 2K, P]`` is whole (8,128) sublane tiles and every
+    kernel FMA runs at full VPU rate.  (The previous ``(re/im, b, k)`` order
+    forced half-tile ``[XB, K, P]`` operands — measured 49% vs 80% of the
+    HBM roof against the flat kernel on identical work.)
+    """
     Lx, Ly, Lz = sk.shape
     K = v.shape[-1]
     P = lo.P
     if isinstance(v, np.ndarray):
-        v3 = np.moveaxis(v.reshape(Lx, Ly * Lz, BLOCK, K), 1, -1)
-        out = np.zeros((Lx, 2, BLOCK, K, P), dtype=np.float32)
-        out[:, 0, ..., : Ly * Lz] = v3.real
-        out[:, 1, ..., : Ly * Lz] = v3.imag
-        return jnp.asarray(out.reshape(Lx, 2 * BLOCK * K, P))
+        v3 = np.moveaxis(v.reshape(Lx, Ly * Lz, BLOCK, K), 1, -1)  # [Lx, 4, K, plane]
+        out = np.zeros((Lx, BLOCK, 2, K, P), dtype=np.float32)
+        out[:, :, 0, :, : Ly * Lz] = v3.real
+        out[:, :, 1, :, : Ly * Lz] = v3.imag
+        return jnp.asarray(out.reshape(Lx, BLOCK * 2 * K, P))
     v3 = v.reshape(Lx, Ly * Lz, BLOCK, K)
     v3 = jnp.moveaxis(v3, 1, -1)  # [Lx, 4, K, plane]
-    out = jnp.zeros((Lx, 2, BLOCK, K, P), dtype=jnp.float32)
-    out = out.at[:, 0, :, :, : Ly * Lz].set(jnp.real(v3).astype(jnp.float32))
-    out = out.at[:, 1, :, :, : Ly * Lz].set(jnp.imag(v3).astype(jnp.float32))
-    return out.reshape(Lx, 2 * BLOCK * K, P)
+    out = jnp.zeros((Lx, BLOCK, 2, K, P), dtype=jnp.float32)
+    out = out.at[:, :, 0, :, : Ly * Lz].set(jnp.real(v3).astype(jnp.float32))
+    out = out.at[:, :, 1, :, : Ly * Lz].set(jnp.imag(v3).astype(jnp.float32))
+    return out.reshape(Lx, BLOCK * 2 * K, P)
 
 
 def _unpack_vector_planes(vp, sk: Skeleton, K: int, dtype, lo: Layout):
     Lx, Ly, Lz = sk.shape
     P = vp.shape[-1]
     xp = jnp if isinstance(vp, jax.core.Tracer) else np
-    v = (vp if xp is jnp else np.asarray(vp)).reshape(Lx, 2, BLOCK, K, P)
+    v = (vp if xp is jnp else np.asarray(vp)).reshape(Lx, BLOCK, 2, K, P)
     v = v[..., : Ly * Lz]
-    v = xp.moveaxis(v, -1, 1)  # [Lx, plane, 2, 4, K]
-    cplx = v[:, :, 0].astype(dtype) + 1j * v[:, :, 1].astype(dtype)
+    v = xp.moveaxis(v, -1, 1)  # [Lx, plane, 4, 2, K]
+    cplx = v[:, :, :, 0].astype(dtype) + 1j * v[:, :, :, 1].astype(dtype)
     return cplx.reshape(Lx * Ly * Lz, BLOCK, K).astype(dtype)
 
 
@@ -538,26 +546,31 @@ def _shifted_plane_rows(sk: Skeleton, P: int, flat, col, axis: int, d: int):
     return jnp.where(boundary, wrap, main)
 
 
-def _vrow(v, K: int, c: int, bb: int):
-    """Rows of a flat-packed vector ``[*, 2·4·K, P]`` for (re/im c, orbital
-    bb): the contiguous K probe rows — no reshape, no retiling."""
-    start = (c * BLOCK + bb) * K
-    return v[:, start : start + K, :]
-
-
 def _plane_stencil_body(sk: Skeleton, K: int, P: int, XB: int, bload, vm, vc, vp):
     """Stencil product for a block of XB x-planes (re/im f32 arithmetic).
 
-    All operands stay in their FLAT packed row layouts — ``vc: [XB, 2·4K, P]``
-    (the block's own planes), ``vm``/``vp: [1, 2·4K, P]`` (one halo plane per
-    side) — and the operator is read row-by-row through ``bload(c, s, a, bb)
-    → [XB, P]``.  Multi-axis reshapes of the big operator block make Mosaic
-    materialize retiled copies on the kernel stack (41 MB of scoped VMEM at
-    P=1024, XB=4 — an OOM); row slicing keeps every temporary at one
-    vreg-shaped array, exactly like the flat kernel's inner loop.
-    Returns ``[XB, 2·4K, P]``.
+    All operands stay in their packed row layouts — ``vc: [XB, 4·2K, P]``
+    (the block's own planes, rows orbital-major ``(b, re/im, k)``),
+    ``vm``/``vp: [1, 4·2K, P]`` (one halo plane per side) — and the operator
+    is read row-by-row through ``bload(c, s, a, bb) → [XB, P]``.  Multi-axis
+    reshapes of the big operator block make Mosaic materialize retiled
+    copies on the kernel stack (41 MB of scoped VMEM at P=1024, XB=4 — an
+    OOM); row slicing keeps every temporary at one vreg-shaped array.
+
+    Complex cross terms use the flat kernel's half-swap formulation: per
+    source orbital ``u = [x_re(K); x_im(K)] : [XB, 2K, P]`` (whole sublane
+    tiles at K=4) and ``usw = [−x_im; x_re]``, so
+
+        acc_a += Re(B[a,b])·u + Im(B[a,b])·usw
+               = [Re·x_re − Im·x_im ; Re·x_im + Im·x_re]  ✓
+
+    — two full-rate same-shape FMAs per (slot, b, a), against the previous
+    four half-tile ``[XB, K, P]`` FMAs (measured 49% → full-tile v2 of the
+    plane kernel; the flat kernel with this structure runs at 80% of roof).
+    Returns ``[XB, 4·2K, P]`` in the same row order.
     """
-    Rv = 2 * BLOCK * K
+    R2 = 2 * K
+    Rv = BLOCK * R2
     col = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
 
     # ±x neighbors of every plane in the block: interior planes shift
@@ -568,8 +581,7 @@ def _plane_stencil_body(sk: Skeleton, K: int, P: int, XB: int, bload, vm, vc, vp
     else:
         v_xm, v_xp = vm, vp
 
-    acc_re = [jnp.zeros((XB, K, P), dtype=jnp.float32) for _ in range(BLOCK)]
-    acc_im = [jnp.zeros((XB, K, P), dtype=jnp.float32) for _ in range(BLOCK)]
+    accs = [jnp.zeros((XB, R2, P), dtype=jnp.float32) for _ in range(BLOCK)]
 
     for s, (axis, d) in enumerate(sk.slots):
         if axis < 0:
@@ -581,16 +593,15 @@ def _plane_stencil_body(sk: Skeleton, K: int, P: int, XB: int, bload, vm, vc, vp
             src = _shifted_plane_rows(sk, P, flat, col, axis, d).reshape(XB, Rv, P)
 
         for bb in range(BLOCK):
-            sr = _vrow(src, K, 0, bb)  # [XB, K, P]
-            si = _vrow(src, K, 1, bb)
+            u = src[:, bb * R2 : (bb + 1) * R2, :]  # [XB, 2K, P]
+            usw = jnp.concatenate([-u[:, K:], u[:, :K]], axis=1)
             for a in range(BLOCK):
-                br = bload(0, s, a, bb)[:, None, :]  # [XB, 1, P] → bcast over K
-                bi = bload(1, s, a, bb)[:, None, :]
-                acc_re[a] = acc_re[a] + br * sr - bi * si
-                acc_im[a] = acc_im[a] + br * si + bi * sr
+                wr = bload(0, s, a, bb)[:, None, :]  # [XB, 1, P] → sublane bcast
+                wi = bload(1, s, a, bb)[:, None, :]
+                accs[a] = accs[a] + wr * u + wi * usw
 
-    # Row order of the packed layout: (c, a, k).
-    return jnp.concatenate(acc_re + acc_im, axis=1)  # [XB, 2·4K, P]
+    # Row order of the packed layout: (a, re/im, k).
+    return jnp.concatenate(accs, axis=1)  # [XB, 4·2K, P]
 
 
 def _bload_from_ref(b_ref, sk: Skeleton):
@@ -667,16 +678,21 @@ def _cheb_tail(sk: Skeleton, K: int, P: int, XB: int, hv, vc, tp, inv, y_ref, pp
     on the VPU (measured ~2× the kernel runtime on the flat layout), and
     an in-kernel scatter placement does not lower in Mosaic.
     """
-    t_next = 2.0 * inv * hv - tp  # [XB, 2·4K, P]
+    t_next = 2.0 * inv * hv - tp  # [XB, 4·2K, P]
     y_ref[...] = t_next
 
-    cc = jnp.zeros((XB, K, P), dtype=jnp.float32)
-    nc = jnp.zeros((XB, K, P), dtype=jnp.float32)
-    for c in (0, 1):
-        for bb in range(BLOCK):
-            v = _vrow(vc, K, c, bb)
-            cc = cc + v * v
-            nc = nc + _vrow(t_next, K, c, bb) * v
+    # Accumulate over orbitals at full-tile [XB, 2K, P] shape, then fold the
+    # re/im halves into the K-row partials at the end (one cheap half-tile
+    # add each, instead of half-tile FMAs throughout).
+    R2 = 2 * K
+    w_cc = jnp.zeros((XB, R2, P), dtype=jnp.float32)
+    w_nc = jnp.zeros((XB, R2, P), dtype=jnp.float32)
+    for bb in range(BLOCK):
+        u = vc[:, bb * R2 : (bb + 1) * R2, :]
+        w_cc = w_cc + u * u
+        w_nc = w_nc + t_next[:, bb * R2 : (bb + 1) * R2, :] * u
+    cc = w_cc[:, :K] + w_cc[:, K:]
+    nc = w_nc[:, :K] + w_nc[:, K:]
     rows = _pp_rows(K)
     pads = (
         [jnp.zeros((XB, rows - 2 * K, P), jnp.float32)] if rows > 2 * K else []
@@ -891,6 +907,129 @@ def _plane_cheb_step_halo(b_local, v_local, hm, hp, t_prev, inv, sk: Skeleton, K
 
 
 # ===========================================================================
+# Differentiable halo forms (Pallas forward, jnp-reference backward).
+# ===========================================================================
+# pallas_call has no autodiff rule, so the row-sharded self-consistency
+# step (gradient of a KPM free-energy trace w.r.t. the operator blocks —
+# the "training step" of this domain) could previously only run on the
+# XLA einsum path.  Here each halo kernel gets a `jax.custom_vjp` wrapper:
+# the forward pass IS the hand-scheduled kernel; the backward pass is the
+# XLA-derived VJP of a line-for-line jnp restatement of the same packed
+# arithmetic (below).  Correctness is by construction — the reference is
+# validated against the kernel in interpret mode by tests — and the
+# surrounding shard_map/scan machinery transposes the `ppermute` halo
+# exchange automatically (it is linear), so reverse-mode "just works"
+# across the device mesh.
+
+
+def _shifted_plane_rows_ref(sk: Skeleton, P: int, flat, col, axis: int, d: int):
+    """jnp restatement of :func:`_shifted_plane_rows` (same shifts mod P)."""
+    _, Ly, Lz = sk.shape
+    if axis == 1:
+        main = jnp.roll(flat, (-d * Lz) % P, axis=-1)
+        wrap = jnp.roll(flat, (d * (Ly - 1) * Lz) % P, axis=-1)
+        boundary = (col >= (Ly - 1) * Lz) if d > 0 else (col < Lz)
+    else:
+        main = jnp.roll(flat, (-d) % P, axis=-1)
+        wrap = jnp.roll(flat, (d * (Lz - 1)) % P, axis=-1)
+        boundary = (col % Lz == Lz - 1) if d > 0 else (col % Lz == 0)
+    return jnp.where(boundary, wrap, main)
+
+
+def _plane_stencil_halo_ref(sk: Skeleton, K: int, b, v, hm, hp):
+    """jnp restatement of the halo stencil product over the WHOLE local slab
+    (the blocked kernel's grid structure collapses: v_xm/v_xp across block
+    edges and the first/last halo select are together just one concat).
+
+    ``b: [Lxl, 2·S·16, P]``, ``v: [Lxl, 4·2K, P]``, ``hm``/``hp``:
+    ``[1, 4·2K, P]`` → ``[Lxl, 4·2K, P]``.
+    """
+    S = sk.n_slots
+    P = v.shape[-1]
+    R2 = 2 * K
+    Rv = BLOCK * R2
+    Lxl = v.shape[0]
+    bb32 = b.astype(jnp.float32)
+    col = jnp.arange(P, dtype=jnp.int32)[None, :]
+
+    v_xm = jnp.concatenate([hm, v[: Lxl - 1]], axis=0)
+    v_xp = jnp.concatenate([v[1:], hp], axis=0)
+
+    accs = [jnp.zeros((Lxl, R2, P), dtype=jnp.float32) for _ in range(BLOCK)]
+    for s, (axis, d) in enumerate(sk.slots):
+        if axis < 0:
+            src = v
+        elif axis == 0:
+            src = v_xp if d > 0 else v_xm
+        else:
+            flat = v.reshape(Lxl * Rv, P)
+            src = _shifted_plane_rows_ref(sk, P, flat, col, axis, d).reshape(Lxl, Rv, P)
+        for cb in range(BLOCK):
+            u = src[:, cb * R2 : (cb + 1) * R2, :]
+            usw = jnp.concatenate([-u[:, K:], u[:, :K]], axis=1)
+            for a in range(BLOCK):
+                wr = bb32[:, ((0 * S + s) * BLOCK + a) * BLOCK + cb, :][:, None, :]
+                wi = bb32[:, ((1 * S + s) * BLOCK + a) * BLOCK + cb, :][:, None, :]
+                accs[a] = accs[a] + wr * u + wi * usw
+    return jnp.concatenate(accs, axis=1)
+
+
+def _plane_cheb_step_halo_ref(sk: Skeleton, K: int, b, v, hm, hp, tp, inv):
+    """jnp restatement of :func:`_plane_cheb_step_halo` (same outputs:
+    ``(t_next[Lxl, 4·2K, P], partials[Lxl, 2K])``)."""
+    hv = _plane_stencil_halo_ref(sk, K, b, v, hm, hp)
+    t_next = 2.0 * inv * hv - tp
+    Lxl, P = v.shape[0], v.shape[-1]
+    v5 = v.reshape(Lxl, BLOCK, 2, K, P)
+    n5 = t_next.reshape(Lxl, BLOCK, 2, K, P)
+    cc = jnp.sum(v5 * v5, axis=(1, 2, 4))
+    nc = jnp.sum(n5 * v5, axis=(1, 2, 4))
+    return t_next, jnp.concatenate([cc, nc], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def plane_spmm_halo_ad(sk: Skeleton, K: int, Lxl: int):
+    """Differentiable local-slab SpMM: Pallas forward, jnp-VJP backward."""
+
+    @jax.custom_vjp
+    def step(b, v, hm, hp):
+        return _plane_spmm_halo(b, v, hm, hp, sk, K, Lxl)
+
+    def fwd(b, v, hm, hp):
+        return _plane_spmm_halo(b, v, hm, hp, sk, K, Lxl), (b, v, hm, hp)
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(lambda *a: _plane_stencil_halo_ref(sk, K, *a), *res)
+        return vjp(ct)
+
+    step.defvjp(fwd, bwd)
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def plane_cheb_step_halo_ad(sk: Skeleton, K: int, Lxl: int):
+    """Differentiable fused local-slab Chebyshev step (t_next + moment
+    partials): Pallas forward, jnp-VJP backward.  The backward recomputes
+    the reference forward (rematerialization — the standard trade on TPU,
+    where HBM residency is the scarce resource, not FLOPs)."""
+
+    @jax.custom_vjp
+    def step(b, v, hm, hp, tp, inv):
+        return _plane_cheb_step_halo(b, v, hm, hp, tp, inv, sk, K, Lxl)
+
+    def fwd(b, v, hm, hp, tp, inv):
+        out = _plane_cheb_step_halo(b, v, hm, hp, tp, inv, sk, K, Lxl)
+        return out, (b, v, hm, hp, tp, inv)
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(lambda *a: _plane_cheb_step_halo_ref(sk, K, *a), *res)
+        return vjp(ct)
+
+    step.defvjp(fwd, bwd)
+    return step
+
+
+# ===========================================================================
 # Public entry points (layout-dispatching).
 # ===========================================================================
 def pack_operator(data, sk: Skeleton, K: int = 4, operator_dtype=None, layout: Layout = None):
@@ -959,8 +1098,8 @@ def _packed_inner(a, b, sk: Skeleton, K: int):
         b4 = b.reshape(BLOCK, 2, K, lo.L)
         return jnp.sum(a4 * b4, axis=(0, 1, 3))
     Lx = a.shape[0]
-    a4 = a.reshape(Lx, 2, BLOCK, K, lo.P)
-    b4 = b.reshape(Lx, 2, BLOCK, K, lo.P)
+    a4 = a.reshape(Lx, BLOCK, 2, K, lo.P)
+    b4 = b.reshape(Lx, BLOCK, 2, K, lo.P)
     return jnp.sum(a4 * b4, axis=(0, 1, 2, 4))
 
 

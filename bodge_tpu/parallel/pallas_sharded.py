@@ -44,11 +44,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..ops.blocksparse import BLOCK, Skeleton
 from ..ops.chebyshev import _KERNELS, chebyshev_coefficients, rademacher_probes
 from ..ops.pallas_spmm import (
-    _plane_cheb_step_halo,
-    _plane_spmm_halo,
     pack_operator,
     pack_vector,
+    plane_cheb_step_halo_ad,
     plane_layout,
+    plane_spmm_halo_ad,
     unpack_vector,
 )
 from .sharded import AXIS, RowSharding
@@ -108,9 +108,11 @@ def _spmm_pallas_sharded_jit(rs: RowSharding, b_sh, v_sh, K: int):
     sk, n = rs.sk, rs.n_shards
     Lxl = sk.shape[0] // n
 
+    kernel = plane_spmm_halo_ad(sk, K, Lxl)
+
     def local(b_l, v_l):
         hm, hp = _halo_planes(v_l, n)
-        return _plane_spmm_halo(b_l, v_l, hm, hp, sk, K, Lxl)
+        return kernel(b_l, v_l, hm, hp)
 
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes
     # annotation, and the kernel is manually sharded by construction.
@@ -143,10 +145,12 @@ def _moments_pallas_sharded_jit(rs: RowSharding, b_sh, v0_sh, inv, order: int, K
     sk, n = rs.sk, rs.n_shards
     Lxl = sk.shape[0] // n
 
+    kernel = plane_cheb_step_halo_ad(sk, K, Lxl)
+
     def local(b_l, v_l, inv_l):
         def fused(t_cur, t_prev, step_inv):
             hm, hp = _halo_planes(t_cur, n)
-            t_next, pp = _plane_cheb_step_halo(b_l, t_cur, hm, hp, t_prev, step_inv, sk, K, Lxl)
+            t_next, pp = kernel(b_l, t_cur, hm, hp, t_prev, step_inv)
             sums = lax.psum(jnp.sum(pp, axis=0), AXIS)  # [2K]
             return t_next, sums[:K], sums[K:]
 
@@ -206,11 +210,13 @@ def chebyshev_scan_sharded(rs: RowSharding, b_sh, v_sh, inv, steps: int, K: int)
     sk, n = rs.sk, rs.n_shards
     Lxl = sk.shape[0] // n
 
+    kernel = plane_cheb_step_halo_ad(sk, K, Lxl)
+
     def local(b_l, v_l, inv_l):
         def step(carry, _):
             t_prev, t_cur = carry
             hm, hp = _halo_planes(t_cur, n)
-            t_next, _pp = _plane_cheb_step_halo(b_l, t_cur, hm, hp, t_prev, inv_l, sk, K, Lxl)
+            t_next, _pp = kernel(b_l, t_cur, hm, hp, t_prev, inv_l)
             return (t_cur, t_next), None
 
         (_, out), _ = lax.scan(step, (v_l, v_l), None, length=steps)
