@@ -37,6 +37,13 @@ def main():
     ap.add_argument("--samples", type=int, default=8)
     ap.add_argument("--temperature", type=float, default=0.1)
     ap.add_argument(
+        "--pallas",
+        action="store_true",
+        help="drive the sweep through the row-sharded Pallas plane kernel "
+        "(chebyshev_scan_sharded) instead of the XLA einsum path; writes "
+        "weak_scaling_pallas.json (interpret-mode kernels on CPU devices)",
+    )
+    ap.add_argument(
         "--cpu",
         action="store_true",
         help="force the CPU backend with 8 virtual devices (overrides any "
@@ -59,8 +66,15 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    import jax.numpy as jnp
+
     from bodge_tpu.models.systems import swave_superconductor
     from bodge_tpu.parallel import RowSharding, free_energy_kpm_sharded, make_row_mesh
+    from bodge_tpu.parallel.pallas_sharded import (
+        chebyshev_scan_sharded,
+        pack_operator_sharded,
+        pack_vector_sharded,
+    )
 
     n_avail = len(jax.devices())
     if jax.devices()[0].platform == "cpu":
@@ -76,11 +90,30 @@ def main():
         mesh = make_row_mesh(p)
         system = swave_superconductor((args.local_lx * p, args.width, 1), delta=0.4)
         rs = RowSharding(system.skeleton, mesh)
-        data = rs.shard_data(system.data)
 
-        run = lambda: free_energy_kpm_sharded(
-            rs, data, args.temperature, scale=6.0, order=args.order, samples=args.samples
-        )
+        if args.pallas:
+            import numpy as np
+
+            N = system.lattice.size
+            v0 = np.zeros((N, 4, 4), dtype=system.dtype)
+            v0[N // 2, np.arange(4), np.arange(4)] = 1.0
+            b_sh = pack_operator_sharded(rs, system.host_data())
+            v_sh = pack_vector_sharded(rs, v0)
+            inv = jnp.asarray(1.0 / 6.0, jnp.float32)
+
+            def run():
+                out = chebyshev_scan_sharded(rs, b_sh, v_sh, inv, args.order, 4)
+                return float(jnp.sum(out))  # full reduction: sync + sharding-safe
+
+        else:
+            data = rs.shard_data(system.data)
+
+            def run():
+                return free_energy_kpm_sharded(
+                    rs, data, args.temperature, scale=6.0,
+                    order=args.order, samples=args.samples,
+                )
+
         F = run()  # compile
         t0 = time.perf_counter()
         reps = 3
@@ -109,7 +142,8 @@ def main():
             eff = r["weak_scaling_efficiency"]
         print(f"P={r['devices']:3d}  efficiency={100*eff:.1f}%")
 
-    with open("weak_scaling.json", "w") as f:
+    out_name = "weak_scaling_pallas.json" if args.pallas else "weak_scaling.json"
+    with open(out_name, "w") as f:
         json.dump(results, f, indent=2)
 
 
