@@ -58,6 +58,22 @@ def _free_energy_dense(data, sk: Skeleton, T: float):
     return U - T * jnp.sum(jnp.log1p(jnp.exp(-Ep / T)))
 
 
+def _free_energy_kpm_pallas(data, sk: Skeleton, probes, coeffs, inv_scale):
+    """KPM free-energy trace through the fused Pallas kernel, differentiable
+    end-to-end: packing is a traced jnp permutation (its VJP is the inverse
+    permutation) and the fused step carries a custom VJP
+    (:func:`bodge_tpu.ops.pallas_spmm.cheb_step_pallas_ad`) — so the gap
+    equation's gradient rides the same hand-scheduled kernel as the sweep."""
+    from ..ops import pallas_spmm as pk
+
+    K = probes.shape[-1]
+    b = pk.pack_operator(data, sk, K)
+    v0 = pk.pack_vector(probes, sk)
+    mu = pk.moments_pallas_fused_ad(b, v0, sk, inv_scale, coeffs.shape[0], K)
+    acc = jnp.dot(coeffs.astype(jnp.float32), jnp.sum(mu, axis=1))
+    return 0.5 * acc / K * (sk.n_sites * BLOCK)
+
+
 def _free_energy_kpm(data, sk: Skeleton, T: float, probes, coeffs, inv_scale, impl):
     def H(v):
         return spmm(data, sk, v, impl=impl) * inv_scale
@@ -108,9 +124,13 @@ def make_total_free_energy(
 
     if method == "kpm":
         # Spectral bound from a generous Δ headroom so the scale stays valid
-        # across the optimization trajectory.
+        # across the optimization trajectory.  (The bound itself is a
+        # one-time power iteration — always cheap on the XLA stencil.)
+        bound_impl = "stencil" if impl == "pallas" else impl
         probe_delta = jnp.full((sk.n_sites,), 2.0, dtype=base.dtype)
-        scale = spectral_bound(data_with_onsite_swave(base, probe_delta), sk, impl=impl)
+        scale = spectral_bound(
+            data_with_onsite_swave(base, probe_delta), sk, impl=bound_impl
+        )
 
         if T == 0:
             g = lambda E: -np.abs(E) / 2
@@ -126,6 +146,22 @@ def make_total_free_energy(
         # Normalized Hutchinson probes: E[z z†] = I with ⟨z,z⟩ = 4N per column.
         z = jax.random.rademacher(key, (sk.n_sites, BLOCK, samples), dtype=rdtype)
         z = z.astype(base.dtype) / jnp.sqrt(jnp.asarray(sk.n_sites * BLOCK, rdtype))
+
+        if impl == "pallas":
+            from ..ops import pallas_spmm as pk
+
+            if pk.plan(sk, samples) is None:
+                raise ValueError(
+                    "impl='pallas' needs a cubic stencil skeleton (use "
+                    "impl='stencil' for generic lattices)"
+                )
+
+            def F_total(delta):
+                data = data_with_onsite_swave(base, delta)
+                F = _free_energy_kpm_pallas(data, sk, z, coeffs, inv)
+                return F + jnp.sum(jnp.abs(delta) ** 2) / V
+
+            return jax.jit(F_total)
 
         def F_total(delta):
             data = data_with_onsite_swave(base, delta)

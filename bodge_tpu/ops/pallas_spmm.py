@@ -987,6 +987,113 @@ def _plane_cheb_step_halo_ref(sk: Skeleton, K: int, b, v, hm, hp, tp, inv):
     return t_next, jnp.concatenate([cc, nc], axis=1)
 
 
+def _flat_stencil_ref(sk: Skeleton, K: int, lo: Layout, b, v):
+    """jnp restatement of the FLAT stencil product over the whole guarded
+    lane axis (the chunked kernel's windows collapse to global lane rolls).
+
+    ``b: [2·S·16, W]`` (W = nb·T site columns, no guards),
+    ``v: [4·2K, L]`` (L = W + 2G guarded lanes) → ``[4·2K, L]``.
+
+    The operator rows are zero-padded into lane space (guard columns = 0),
+    so guard lanes and rolled-in garbage annihilate exactly like the
+    kernel's structural zeros — no output masking needed.
+    """
+    Lx, Ly, Lz = sk.shape
+    M = Ly * Lz
+    S = sk.n_slots
+    G, L = lo.G, lo.L
+    R2 = 2 * K
+    bb32 = b.astype(jnp.float32)
+    bw = jnp.pad(bb32, ((0, 0), (G, G)))  # [2·S·16, L], site s at lane s+G
+
+    lane = jnp.arange(L, dtype=jnp.int32)[None, :]
+    p = lane - G  # global site id per lane (interior lanes only)
+
+    def shifted(off):
+        return jnp.roll(v, -off, axis=-1)
+
+    accs = [jnp.zeros((R2, L), dtype=jnp.float32) for _ in range(BLOCK)]
+    for s, (axis, d) in enumerate(sk.slots):
+        if axis < 0:
+            src = v
+        else:
+            if axis == 0:
+                main, wrap = shifted(d * M), shifted(-d * (Lx - 1) * M)
+                mask = (p >= (Lx - 1) * M) if d > 0 else (p < M)
+            elif axis == 1:
+                main, wrap = shifted(d * Lz), shifted(-d * (Ly - 1) * Lz)
+                q = p % M
+                mask = (q >= (Ly - 1) * Lz) if d > 0 else (q < Lz)
+            else:
+                main, wrap = shifted(d), shifted(-d * (Lz - 1))
+                q = p % Lz
+                mask = (q == Lz - 1) if d > 0 else (q == 0)
+            src = jnp.where(mask, wrap, main)
+        for cb in range(BLOCK):
+            u = src[cb * R2 : (cb + 1) * R2]
+            usw = jnp.concatenate([-u[K:], u[:K]], axis=0)
+            for a in range(BLOCK):
+                wr = bw[s * 16 + a * BLOCK + cb][None]
+                wi = bw[16 * S + s * 16 + a * BLOCK + cb][None]
+                accs[a] = accs[a] + wr * u + wi * usw
+    return jnp.concatenate(accs, axis=0)
+
+
+def _flat_cheb_step_ref(sk: Skeleton, K: int, lo: Layout, b, v, tp, inv):
+    """jnp restatement of :func:`_flat_cheb_step` (same outputs:
+    ``(t_next[4·2K, L], partials[L//T, 2K])``).
+
+    Guard chunks are zeroed like the kernel's explicit zero-fill — the
+    kernel's outputs there are CONSTANT zero regardless of inputs, so the
+    restatement must be too or its VJP would leak spurious gradient
+    through the guards."""
+    hv = _flat_stencil_ref(sk, K, lo, b, v)
+    t_next = 2.0 * inv * hv - tp
+    L, T, G = lo.L, lo.T, lo.G
+    lane = jnp.arange(L, dtype=jnp.int32)[None, :]
+    interior = (lane >= G) & (lane < G + lo.nb * T)
+    t_next = jnp.where(interior, t_next, 0.0)
+    v4 = v.reshape(BLOCK, 2, K, L)
+    n4 = t_next.reshape(BLOCK, 2, K, L)
+    vi = jnp.where(interior, 1.0, 0.0)
+    cc = jnp.sum(v4 * v4 * vi, axis=(0, 1)).reshape(K, L // T, T).sum(-1).T
+    nc = jnp.sum(n4 * v4 * vi, axis=(0, 1)).reshape(K, L // T, T).sum(-1).T
+    return t_next, jnp.concatenate([cc, nc], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def cheb_step_pallas_ad(sk: Skeleton, K: int):
+    """Differentiable single-device fused Chebyshev step (layout-dispatched):
+    Pallas forward, jnp-reference backward.  Same contract as
+    :func:`chebyshev_step_pallas` — ``(t_next, partials[chunks, 2K])``.
+
+    The plane layout's circular ±x index maps are the halo reference with
+    the wrapped boundary planes of the operand itself as the halos.
+    """
+    lo = plan(sk, K)
+    if lo.mode == "flat":
+        ref = lambda b, t, p, inv: _flat_cheb_step_ref(sk, K, lo, b, t, p, inv)
+    else:
+        ref = lambda b, t, p, inv: _plane_cheb_step_halo_ref(
+            sk, K, b, t, t[-1:], t[:1], p, inv
+        )
+
+    @jax.custom_vjp
+    def step(b, t_cur, t_prev, inv):
+        return chebyshev_step_pallas(b, t_cur, t_prev, inv, sk, K)
+
+    def fwd(b, t_cur, t_prev, inv):
+        out = chebyshev_step_pallas(b, t_cur, t_prev, inv, sk, K)
+        return out, (b, t_cur, t_prev, inv)
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(ct)
+
+    step.defvjp(fwd, bwd)
+    return step
+
+
 @functools.lru_cache(maxsize=None)
 def plane_spmm_halo_ad(sk: Skeleton, K: int, Lxl: int):
     """Differentiable local-slab SpMM: Pallas forward, jnp-VJP backward."""
@@ -1103,16 +1210,13 @@ def _packed_inner(a, b, sk: Skeleton, K: int):
     return jnp.sum(a4 * b4, axis=(0, 1, 2, 4))
 
 
-@functools.partial(jax.jit, static_argnames=("sk", "order", "K"))
-def moments_pallas_fused(b_packed, v0_packed, sk: Skeleton, inv, order: int, K: int):
-    """KPM moments with the fused step kernel: per Chebyshev order, ONE
-    kernel pass computes t_next and both inner products — the minimum-
-    traffic formulation of the doubled-moment recursion."""
+def _moments_fused_body(step_fn, b_packed, v0_packed, inv, order: int, K: int):
+    """Shared doubled-moment recursion over any fused-step implementation."""
     inv_f = jnp.asarray(inv, jnp.float32)
     t0 = v0_packed
     # The half-scaled first step gives t1 = H̃ t0 AND, via the in-kernel
     # partials, μ0 = ⟨t0,t0⟩ and μ1 = ⟨t1,t0⟩ for free.
-    t1, pp0 = chebyshev_step_pallas(b_packed, t0, jnp.zeros_like(t0), 0.5 * inv_f, sk, K)
+    t1, pp0 = step_fn(b_packed, t0, jnp.zeros_like(t0), 0.5 * inv_f)
     mu0 = jnp.sum(pp0[:, :K], axis=0)
     mu1 = jnp.sum(pp0[:, K:], axis=0)
 
@@ -1122,7 +1226,7 @@ def moments_pallas_fused(b_packed, v0_packed, sk: Skeleton, inv, order: int, K: 
 
     def step(carry, _):
         t_prev, t_cur = carry
-        t_next, pp = chebyshev_step_pallas(b_packed, t_cur, t_prev, inv_f, sk, K)
+        t_next, pp = step_fn(b_packed, t_cur, t_prev, inv_f)
         cc = jnp.sum(pp[:, :K], axis=0)
         nc = jnp.sum(pp[:, K:], axis=0)
         alpha = 2.0 * cc - mu0
@@ -1132,6 +1236,26 @@ def moments_pallas_fused(b_packed, v0_packed, sk: Skeleton, inv, order: int, K: 
     (_, _), (alphas, betas) = jax.lax.scan(step, (t0, t1), None, length=steps)
     rest = jnp.stack([alphas, betas], axis=1).reshape(2 * steps, K)
     return jnp.concatenate([mu0[None], mu1[None], rest], axis=0)[:order]
+
+
+@functools.partial(jax.jit, static_argnames=("sk", "order", "K"))
+def moments_pallas_fused(b_packed, v0_packed, sk: Skeleton, inv, order: int, K: int):
+    """KPM moments with the fused step kernel: per Chebyshev order, ONE
+    kernel pass computes t_next and both inner products — the minimum-
+    traffic formulation of the doubled-moment recursion."""
+    step_fn = lambda b, t, p, i: chebyshev_step_pallas(b, t, p, i, sk, K)
+    return _moments_fused_body(step_fn, b_packed, v0_packed, inv, order, K)
+
+
+@functools.partial(jax.jit, static_argnames=("sk", "order", "K"))
+def moments_pallas_fused_ad(b_packed, v0_packed, sk: Skeleton, inv, order: int, K: int):
+    """Differentiable :func:`moments_pallas_fused`: identical forward
+    values (same kernels), with reverse-mode flowing through the steps'
+    custom VJPs — gradients w.r.t. the packed operator and the probes.
+    Backward rematerializes each step from the jnp reference (memory-lean;
+    the scan checkpoints only the two carry vectors per step)."""
+    step_fn = cheb_step_pallas_ad(sk, K)
+    return _moments_fused_body(step_fn, b_packed, v0_packed, inv, order, K)
 
 
 def spmm_pallas(data, sk: Skeleton, v):
