@@ -564,6 +564,12 @@ SECTIONS = {
     # BASELINE config 5 scale: 1000×1000 (1M sites) naturally selects the
     # plane layout — the large-N kernel path.
     "spmm_plane": lambda: bench_spmm_chebyshev(L=1000, order=64, impl="pallas"),
+    # bf16 operator storage where it matters: the plane layout is
+    # operator-stream-dominated (B ≈ 60% of traffic), unlike the flat
+    # layout's compute knee — measured against its own bf16 traffic model.
+    "spmm_plane_bf16": lambda: bench_spmm_chebyshev(
+        L=1000, order=64, impl="pallas", op_dtype="bf16"
+    ),
     "spmm_sharded": lambda: bench_spmm_sharded(),
     "assembly": bench_assembly,
     "diagonalize": bench_diagonalize,
@@ -581,6 +587,7 @@ SECTION_TIMEOUT_S = {
     "spmm_pallas": 1200,
     "spmm_pallas_bf16": 900,
     "spmm_plane": 1200,
+    "spmm_plane_bf16": 900,
     "spmm_sharded": 900,
     "assembly": 600,
     "diagonalize": 900,
@@ -835,6 +842,7 @@ def parent_main():
         "spmm_plane",
         "spmm_sharded",
         "spmm_pallas_bf16",
+        "spmm_plane_bf16",
         "consistency",
         "diag_kpm_tpu",
         "kpm_ldos",

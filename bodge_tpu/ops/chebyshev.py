@@ -216,9 +216,15 @@ def _operator_storage(operator_dtype):
     """Resolve the Pallas operator-storage dtype knob.
 
     ``None`` consults the BODGE_OPERATOR_STORAGE env var ("bf16" halves the
-    operator's HBM traffic; vectors and accumulation stay f32 — drift is
-    quantified in tests/test_pallas.py).  Explicit "f32"/"bf16" strings or
-    dtypes override."""
+    operator's HBM *footprint and traffic*; vectors and accumulation stay
+    f32 — drift is quantified in tests/test_pallas.py).  Measured effect on
+    throughput is layout-dependent: the small-N flat layout sits at the
+    VPU-compute knee, where bf16 storage buys capacity but no speed
+    (bench r02: 63.2 µs bf16 vs 62.3 µs f32 at 200×200); the large-N plane
+    layout is operator-stream-dominated, where the traffic cut is the
+    dominant term.  Treat it primarily as a capacity knob — benchmark your
+    own config before relying on it for speed.  Explicit "f32"/"bf16"
+    strings or dtypes override."""
     if operator_dtype is None:
         operator_dtype = os.environ.get("BODGE_OPERATOR_STORAGE", "")
     if operator_dtype in ("", "f32", "float32", np.float32, jnp.float32):
