@@ -141,6 +141,103 @@ def make_stream(XB):
     return call
 
 
+def make_cheb_bulk(XB):
+    """Production specs, but the operator block is materialized with ONE
+    bulk load (the flat kernel's pattern) and row-sliced as a value,
+    instead of 2·S·16 separate ref reads per grid step."""
+    rows = ps._pp_rows(K)
+    b_spec, vm_spec, vc_spec, vp_spec, tp_spec, inv_spec, y_spec, pp_spec = specs(XB)
+
+    def kernel(b_ref, vm_ref, vc_ref, vp_ref, tp_ref, inv_ref, y_ref, pp_ref):
+        S = sk.n_slots
+        bb = b_ref[...].astype(jnp.float32)
+
+        def bload(c, s, a, cb):
+            return bb[:, ((c * S + s) * 4 + a) * 4 + cb, :]
+
+        vc = vc_ref[...]
+        hv = ps._plane_stencil_body(sk, K, P, XB, bload, vm_ref[...], vc, vp_ref[...])
+        ps._cheb_tail(sk, K, P, XB, hv, vc, tp_ref[...], inv_ref[0, 0], y_ref, pp_ref)
+
+    def call(b, t, p):
+        t_next, pp = pl.pallas_call(
+            kernel,
+            grid=(L // XB,),
+            in_specs=[b_spec, vm_spec, vc_spec, vp_spec, tp_spec, inv_spec],
+            out_specs=(y_spec, pp_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct(t.shape, jnp.float32),
+                jax.ShapeDtypeStruct((L, rows, P), jnp.float32),
+            ),
+            interpret=INTERP,
+            compiler_params=CP,
+        )(b, t, t, t, p, jnp.asarray(inv, jnp.float32).reshape(1, 1))
+        return t_next
+
+    return call
+
+
+def make_cheb_ext(XB):
+    """Merged-fetch variant: ONE extended (XB+2)-plane window replaces the
+    three vm/vc/vp fetches (start clamped at the array ends; the two wrap
+    planes arrive through constant-map single-plane inputs, fetched once).
+    Tests whether per-step DMA count is what holds the pipeline at ~59%."""
+    from jax._src.pallas.core import Element
+
+    rows = ps._pp_rows(K)
+    nsteps = L // XB
+    # Overlapping (XB+2)-plane windows need ELEMENT-indexed leading dim
+    # (Blocked index maps are in block units, so overlap is inexpressible).
+    ext_spec = pl.BlockSpec(
+        (Element(XB + 2), Rv, P),
+        lambda i: (jnp.clip(XB * i - 1, 0, L - XB - 2), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    b_spec = pl.BlockSpec((XB, 2 * S * 16, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    tp_spec = pl.BlockSpec((XB, Rv, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    wl_spec = pl.BlockSpec((1, Rv, P), lambda i: (L - 1, 0, 0), memory_space=pltpu.VMEM)
+    wr_spec = pl.BlockSpec((1, Rv, P), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    inv_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    y_spec = pl.BlockSpec((XB, Rv, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    pp_spec = pl.BlockSpec((XB, rows, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def kernel(b_ref, ext_ref, wl_ref, wr_ref, tp_ref, inv_ref, y_ref, pp_ref):
+        i = pl.program_id(0)
+        ext = ext_ref[...]
+        first = i == 0
+        last = i == nsteps - 1
+        # Offset of vc within ext: 0 at the first step (clamped), 2 at the
+        # last (clamped), 1 in the interior.
+        vc = jnp.where(
+            first, ext[0:XB], jnp.where(last, ext[2 : XB + 2], ext[1 : XB + 1])
+        )
+        vm = jnp.where(first, wl_ref[...], jnp.where(last, ext[1:2], ext[0:1]))
+        vp = jnp.where(
+            last, wr_ref[...], jnp.where(first, ext[XB : XB + 1], ext[XB + 1 : XB + 2])
+        )
+        hv = ps._plane_stencil_body(
+            sk, K, P, XB, ps._bload_from_ref(b_ref, sk), vm, vc, vp
+        )
+        ps._cheb_tail(sk, K, P, XB, hv, vc, tp_ref[...], inv_ref[0, 0], y_ref, pp_ref)
+
+    def call(b, t, p):
+        t_next, pp = pl.pallas_call(
+            kernel,
+            grid=(nsteps,),
+            in_specs=[b_spec, ext_spec, wl_spec, wr_spec, tp_spec, inv_spec],
+            out_specs=(y_spec, pp_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct(t.shape, jnp.float32),
+                jax.ShapeDtypeStruct((L, rows, P), jnp.float32),
+            ),
+            interpret=INTERP,
+            compiler_params=CP,
+        )(b, t, t, t, p, jnp.asarray(inv, jnp.float32).reshape(1, 1))
+        return t_next
+
+    return call
+
+
 def scan3(fn):
     @functools.partial(jax.jit, static_argnames=("n",))
     def run(b, v, n):
@@ -186,6 +283,8 @@ if INTERP:
     for XB in candidates[:2]:
         got = np.asarray(make_cheb(XB)(b0, vp, vp))
         assert np.allclose(got, want, atol=1e-4), XB
+        got_e = np.asarray(make_cheb_ext(XB)(b0, vp, vp))
+        assert np.allclose(got_e, want, atol=1e-4), ("ext", XB)
     print("CORRECTNESS OK (interpret)", file=sys.stderr)
     sys.exit(0)
 
@@ -195,7 +294,15 @@ for XB in candidates:
     if vmem > 28 * 2**20:
         print(f"skip XB={XB}: est {vmem/2**20:.0f} MiB VMEM", file=sys.stderr)
         continue
-    t_s = slope(scan3(make_stream(XB)), ORDER, 2 * ORDER)
-    report("stream", XB, t_s)
-    t_c = slope(scan3(make_cheb(XB)), ORDER, 2 * ORDER)
-    report("cheb", XB, t_c)
+    for name, maker in (
+        ("stream", make_stream),
+        ("cheb", make_cheb),
+        ("cheb_ext", make_cheb_ext),
+        ("cheb_bulk", make_cheb_bulk),
+    ):
+        try:
+            t = slope(scan3(maker(XB)), ORDER, 2 * ORDER)
+            report(name, XB, t)
+        except Exception as e:
+            print(f"{name} XB={XB} failed: {type(e).__name__}: {str(e)[:120]}",
+                  file=sys.stderr)
