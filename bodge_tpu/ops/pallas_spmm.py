@@ -508,7 +508,7 @@ def _unpack_vector_planes(vp, sk: Skeleton, K: int, dtype, lo: Layout):
     return cplx.reshape(Lx * Ly * Lz, BLOCK, K).astype(dtype)
 
 
-def _pick_xb(Lx: int, S: int, K: int, P: int, vmem_budget: int = 12 * 2**20) -> int:
+def _pick_xb(Lx: int, S: int, K: int, P: int, vmem_budget: int = 20 * 2**20) -> int:
     """Planes per grid step for the blocked plane kernels.
 
     One plane per step makes the pipeline overhead dominate at large Lx
@@ -517,9 +517,16 @@ def _pick_xb(Lx: int, S: int, K: int, P: int, vmem_budget: int = 12 * 2**20) -> 
     maps and the in-block shift-by-concat are only exact without padding),
     and the per-step working set (operator + 3 vector blocks + outputs,
     double-buffered) must fit comfortably in VMEM.
+
+    Preference order is measured, not monotone (_planebench.py sweep on
+    the 1000×1000 config): a SUBLANE-TILE-ALIGNED leading block dim wins
+    decisively — XB=8 runs at 89% of the traffic roof vs 62% at XB=5 and
+    71% at XB=10 (unaligned leading dims fragment both the DMAs and the
+    vreg tiling).  So: multiples of 8 first, then even, then odd, largest
+    first within each class and the VMEM budget.
     """
     step_rows = 2 * S * 16 + 4 * (2 * BLOCK * K) + _pp_rows(K)
-    for xb in (8, 7, 6, 5, 4, 3, 2):
+    for xb in (8, 16, 4, 6, 2, 10, 14, 7, 5, 3):
         if Lx % xb == 0 and 2 * xb * step_rows * P * 4 <= vmem_budget:
             return xb
     return 1
