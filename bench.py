@@ -83,6 +83,21 @@ def build_swave(L, W=None, Δ0=0.4, μ=0.5, t=1.0):
     return lattice, system
 
 
+def _stream_probe(hbm_bw):
+    """Best-of-3 achievable streaming bandwidth in this window, with
+    sanity gates (the slope fit can blow up under co-tenant interference —
+    observed 8e17 GB/s from a near-zero denominator)."""
+    best = 0.0
+    for _ in range(3):
+        try:
+            bw = measure_hbm_bandwidth(nbytes=1 << 29)
+        except Exception:
+            continue
+        if 0.02 * hbm_bw < bw < 1.2 * hbm_bw:
+            best = max(best, bw)
+    return best or None
+
+
 def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil", op_dtype="f32"):
     """Headline: sustained SpMM throughput inside a KPM moment scan."""
     hbm_bw = hbm_roof_for_device(jax.devices()[0])
@@ -219,13 +234,10 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil", op_dtype="f32"):
     # the spec roof between windows while the kernel tracked it).  Record
     # the bandwidth a plain streaming pass achieves in the SAME window so
     # the artifact separates kernel efficiency from machine weather.
-    measured_bw = None
-    try:
-        measured_bw = measure_hbm_bandwidth(nbytes=1 << 29)
+    measured_bw = _stream_probe(hbm_bw)
+    if measured_bw:
         log(f"[spmm:{impl}] concurrent streaming bandwidth: "
             f"{measured_bw/1e9:.0f} GB/s ({100*measured_bw/hbm_bw:.0f}% of spec roof)")
-    except Exception as e:
-        log(f"[spmm:{impl}] bandwidth probe failed: {e}")
     result_extra = {}
     if measured_bw:
         result_extra = {
@@ -575,14 +587,12 @@ def bench_spmm_sharded(L=200, order=256, K=4):
         f"({100*frac:.1f}% of roof, {n_dev} device(s))"
     )
     extra = {}
-    try:
-        measured_bw = measure_hbm_bandwidth(nbytes=1 << 29)
+    measured_bw = _stream_probe(hbm_bw)
+    if measured_bw:
         extra = {
             "measured_stream_GBps": measured_bw / 1e9,
             "fraction_of_measured_stream": step_bytes / t_step / measured_bw,
         }
-    except Exception:
-        pass
     return {
         **extra,
         "impl": "pallas_sharded",

@@ -622,6 +622,204 @@ def _bload_from_ref(b_ref, sk: Skeleton):
     return bload
 
 
+def _accumulate_slots(sk: Skeleton, K: int, W: int, XB: int, bload, sources):
+    """The shared full-tile FMA loop over stencil slots.
+
+    ``sources``: iterable of ``(slot, src[XB, 4·2K, W])``; ``bload(c, s, a,
+    cb) → [XB, W]``.  Returns ``[XB, 4·2K, W]`` in row order (a, re/im, k).
+    See :func:`_plane_stencil_body` for the half-swap complex formulation.
+    """
+    R2 = 2 * K
+    accs = [jnp.zeros((XB, R2, W), dtype=jnp.float32) for _ in range(BLOCK)]
+    for s, src in sources:
+        for bb in range(BLOCK):
+            u = src[:, bb * R2 : (bb + 1) * R2, :]
+            usw = jnp.concatenate([-u[:, K:], u[:, :K]], axis=1)
+            for a in range(BLOCK):
+                wr = bload(0, s, a, bb)[:, None, :]
+                wi = bload(1, s, a, bb)[:, None, :]
+                accs[a] = accs[a] + wr * u + wi * usw
+    return jnp.concatenate(accs, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Lane-tiled plane form (large P).
+# ---------------------------------------------------------------------------
+# The untiled plane kernels block only the x axis, so the per-step VMEM
+# working set grows linearly with the padded plane size P.  Past the
+# ~16 MiB/core VMEM the pipeline silently degrades from double- to
+# partial buffering — measured on the fused step as a clean efficiency
+# cliff vs P (94.8% of the traffic roof at P=512, 83.0% at P=640, 53.6%
+# at P=1024, same minutes, same kernel).  The tiled form keeps the
+# sublane-aligned XB=8 x-block AND bounds VMEM by adding a second grid
+# axis over PB-lane chunks of each plane; in-plane stencil shifts (|shift|
+# ≤ 128 lanes) read one 128-lane neighbor chunk per side, and the
+# periodic y-wrap (an arbitrary-distance lane jump) is reconstructed from
+# the plane's first/last 128-lane chunk with one dynamic lane roll.
+
+TILE_PB_TARGET = 512
+# Double-buffered per-step budget the untiled kernel must exceed before
+# the tiled form takes over (empirically ~16 MiB VMEM minus scratch).
+TILE_VMEM_BUDGET = 13 * 2**20
+_TILE_C = 128  # neighbor/wrap chunk lanes (the lane-tile granule)
+
+
+def _tile_plan(sk: Skeleton, K: int, P: int) -> Optional[Tuple[int, int]]:
+    """``(XB, PB)`` for the lane-tiled plane kernel, or None if it does
+    not apply (non-stencil, Lx not 8-divisible, in-plane shifts or the
+    wrap bands exceeding the 128-lane chunks, or no proper PB divisor)."""
+    Lx, Ly, Lz = sk.shape
+    M = Ly * Lz
+    if not sk.stencil or Lx % 8 != 0:
+        return None
+    if Lz > _TILE_C - (P - M):  # wrap band must stay inside the edge chunk
+        return None
+    for PB in range(min(P - _TILE_C, TILE_PB_TARGET), _TILE_C - 1, -_TILE_C):
+        if P % PB == 0:
+            return 8, PB
+    return None
+
+
+def _plane_cheb_kernel_tiled(
+    sk: Skeleton, K: int, P: int, XB: int, PB: int,
+    b_ref, vm_ref, vc_ref, vp_ref, vl_ref, vr_ref, w0_ref, wL_ref,
+    tp_ref, inv_ref, y_ref, pp_ref,
+):
+    Lx, Ly, Lz = sk.shape
+    C = _TILE_C
+    NC = P // C
+    Rv = 2 * BLOCK * K
+    j = pl.program_id(1)
+    vc = vc_ref[...]
+    vl = vl_ref[...]
+    vr = vr_ref[...]
+    col = j * PB + jax.lax.broadcasted_iota(jnp.int32, (1, PB), 1)  # global plane lane
+
+    if XB > 1:
+        v_xm = jnp.concatenate([vm_ref[...], vc[: XB - 1]], axis=0)
+        v_xp = jnp.concatenate([vc[1:], vp_ref[...]], axis=0)
+    else:
+        v_xm, v_xp = vm_ref[...], vp_ref[...]
+
+    def shifted(off):
+        """Value at plane lane col+off (static |off| ≤ C): static lane
+        concat of the chunk with the matching edge of a neighbor chunk."""
+        if off == 0:
+            return vc
+        if off > 0:
+            return jnp.concatenate([vc[:, :, off:], vr[:, :, :off]], axis=-1)
+        o = -off
+        return jnp.concatenate([vl[:, :, C - o :], vc[:, :, : PB - o]], axis=-1)
+
+    def ywrap(d):
+        """Periodic-y partner values: lane q reads plane[q − d·(Ly−1)·Lz],
+        whose source band lives in the plane's first (d>0) / last (d<0)
+        C-lane chunk; place it with one dynamic lane roll."""
+        src = w0_ref[...] if d > 0 else wL_ref[...]
+        if PB > C:
+            src = jnp.concatenate(
+                [src, jnp.zeros((XB, Rv, PB - C), jnp.float32)], axis=-1
+            )
+        if d > 0:
+            r = ((Ly - 1) * Lz - j * PB) % PB
+        else:
+            r = (-(j * PB + (Ly - 1) * Lz - (NC - 1) * C)) % PB
+        return pltpu.roll(src, r, 2)
+
+    def sources():
+        for s, (axis, d) in enumerate(sk.slots):
+            if axis < 0:
+                yield s, vc
+            elif axis == 0:
+                yield s, (v_xp if d > 0 else v_xm)
+            elif axis == 1:
+                main = shifted(d * Lz)
+                wrap = ywrap(d)
+                mask = (col >= (Ly - 1) * Lz) if d > 0 else (col < Lz)
+                yield s, jnp.where(mask, wrap, main)
+            else:
+                main = shifted(d)
+                wrap = shifted(-d * (Lz - 1))
+                qz = col % Lz
+                mask = (qz == Lz - 1) if d > 0 else (qz == 0)
+                yield s, jnp.where(mask, wrap, main)
+
+    hv = _accumulate_slots(sk, K, PB, XB, _bload_from_ref(b_ref, sk), sources())
+    _cheb_tail(sk, K, PB, XB, hv, vc, tp_ref[...], inv_ref[0, 0], y_ref, pp_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("sk", "K"))
+def _plane_cheb_step_tiled(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
+    """Lane-tiled fused Chebyshev step (same contract as
+    :func:`_plane_cheb_step`): ``(t_next, partials[Lx, 2K])``."""
+    Lx, Ly, Lz = sk.shape
+    S = sk.n_slots
+    P = b_packed.shape[-1]
+    XB, PB = _tile_plan(sk, K, P)
+    C = _TILE_C
+    NC = P // C
+    ratio = PB // C
+    NBl = P // PB
+    Rv = 2 * BLOCK * K
+    rows = _pp_rows(K)
+
+    grid = (Lx // XB, NBl)
+    vmem = pltpu.VMEM
+    b_spec = pl.BlockSpec((XB, 2 * S * 16, PB), lambda i, j: (i, 0, j), memory_space=vmem)
+    vc_spec = pl.BlockSpec((XB, Rv, PB), lambda i, j: (i, 0, j), memory_space=vmem)
+    vm_spec = pl.BlockSpec((1, Rv, PB), lambda i, j: ((XB * i - 1) % Lx, 0, j), memory_space=vmem)
+    vp_spec = pl.BlockSpec((1, Rv, PB), lambda i, j: ((XB * i + XB) % Lx, 0, j), memory_space=vmem)
+    vl_spec = pl.BlockSpec(
+        (XB, Rv, C), lambda i, j: (i, 0, jnp.maximum(j * ratio - 1, 0)), memory_space=vmem
+    )
+    vr_spec = pl.BlockSpec(
+        (XB, Rv, C),
+        lambda i, j: (i, 0, jnp.minimum(j * ratio + ratio, NC - 1)),
+        memory_space=vmem,
+    )
+    w0_spec = pl.BlockSpec((XB, Rv, C), lambda i, j: (i, 0, 0), memory_space=vmem)
+    wL_spec = pl.BlockSpec((XB, Rv, C), lambda i, j: (i, 0, NC - 1), memory_space=vmem)
+    tp_spec = pl.BlockSpec((XB, Rv, PB), lambda i, j: (i, 0, j), memory_space=vmem)
+    inv_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    out_specs = (
+        pl.BlockSpec((XB, Rv, PB), lambda i, j: (i, 0, j), memory_space=vmem),
+        pl.BlockSpec((XB, rows, PB), lambda i, j: (i, 0, j), memory_space=vmem),
+    )
+
+    bytes_moved = b_packed.size * b_packed.dtype.itemsize + 3 * t_cur.size * 4
+    inv_arr = jnp.asarray(inv, jnp.float32).reshape(1, 1)
+    t_next, pp = pl.pallas_call(
+        functools.partial(_plane_cheb_kernel_tiled, sk, K, P, XB, PB),
+        grid=grid,
+        in_specs=[b_spec, vm_spec, vc_spec, vp_spec, vl_spec, vr_spec,
+                  w0_spec, wL_spec, tp_spec, inv_spec],
+        out_specs=out_specs,
+        out_shape=(
+            jax.ShapeDtypeStruct(t_cur.shape, jnp.float32),
+            jax.ShapeDtypeStruct((Lx, rows, P), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sk.nnz_blocks * BLOCK * BLOCK * K * 4,
+            bytes_accessed=bytes_moved,
+            transcendentals=0,
+        ),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
+        interpret=_interpret(),
+    )(b_packed, t_cur, t_cur, t_cur, t_cur, t_cur, t_cur, t_cur, t_prev, inv_arr)
+    return t_next, jnp.sum(pp[:, : 2 * K, :], axis=-1)
+
+
+def _use_tiled_plane(sk: Skeleton, K: int, P: int) -> bool:
+    """Tiled form iff available AND the untiled aligned (XB=8) working set
+    would blow the VMEM budget (the measured efficiency cliff)."""
+    if _tile_plan(sk, K, P) is None:
+        return False
+    step_rows = 2 * sk.n_slots * 16 + 4 * (2 * BLOCK * K) + _pp_rows(K)
+    return 2 * 8 * step_rows * P * 4 > TILE_VMEM_BUDGET
+
+
 def _plane_stencil_kernel(
     sk: Skeleton, K: int, P: int, XB: int, b_ref, vm_ref, vc_ref, vp_ref, y_ref
 ):
@@ -1197,6 +1395,8 @@ def chebyshev_step_pallas(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
     lo = plan(sk, K)
     if lo.mode == "flat":
         return _flat_cheb_step(b_packed, t_cur, t_prev, inv, sk, K)
+    if _use_tiled_plane(sk, K, b_packed.shape[-1]):
+        return _plane_cheb_step_tiled(b_packed, t_cur, t_prev, inv, sk, K)
     return _plane_cheb_step(b_packed, t_cur, t_prev, inv, sk, K)
 
 

@@ -233,3 +233,64 @@ def test_bf16_operator_storage_knob(monkeypatch):
     drift = np.abs(mu16 - mu32).max()
     assert drift > 0
     assert drift < 3e-2 * max(1.0, np.abs(mu32).max())
+
+
+@pytest.mark.parametrize(
+    "shape,pbc",
+    [
+        ((16, 140, 1), False),
+        ((16, 140, 1), True),   # periodic y exercises the dynamic-roll wrap
+        ((8, 36, 4), True),     # 3D: z shifts + z wrap + y wrap (M=144, P=256)
+        ((8, 130, 2), False),   # M=260 → P=384, PB=128 (three lane chunks)
+    ],
+)
+def test_tiled_plane_cheb_matches_untiled(force_planes, monkeypatch, shape, pbc):
+    """The lane-tiled fused step (large-P form) must agree with the
+    untiled plane step for open AND periodic boundaries."""
+    monkeypatch.setattr(pk, "TILE_VMEM_BUDGET", 0)  # force the tiled form
+    lattice, system = build_system(shape, pbc=pbc, seed=12)
+    sk = system.skeleton
+    K = 4
+    lo = pk.plan(sk, K)
+    assert lo.mode == "planes"
+    P = lo.P
+    assert pk._tile_plan(sk, K, P) is not None, (shape, P)
+    assert pk._use_tiled_plane(sk, K, P)
+
+    rng = np.random.default_rng(3)
+    v = (
+        rng.normal(size=(lattice.size, 4, K)) + 1j * rng.normal(size=(lattice.size, 4, K))
+    ).astype(np.complex64)
+    b = pk.pack_operator(system.host_data(), sk, K, layout=lo)
+    vp = pk.pack_vector(v, sk, layout=lo)
+    tp = jnp.asarray(rng.normal(size=np.asarray(vp).shape).astype(np.float32))
+    inv = jnp.float32(0.23)
+
+    t_tiled, pp_tiled = pk._plane_cheb_step_tiled(b, vp, tp, inv, sk, K)
+    t_ref, pp_ref = pk._plane_cheb_step(b, vp, tp, inv, sk, K)
+    np.testing.assert_allclose(np.asarray(t_tiled), np.asarray(t_ref), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(pp_tiled), np.asarray(pp_ref), rtol=1e-5, atol=1e-3
+    )
+
+
+def test_tiled_plane_dispatch(force_planes, monkeypatch):
+    """chebyshev_step_pallas routes to the tiled form past the VMEM budget
+    and fused moments stay exact through it."""
+    monkeypatch.setattr(pk, "TILE_VMEM_BUDGET", 0)
+    lattice, system = build_system((16, 140, 1), pbc=True, seed=20)
+    sk = system.skeleton
+    K = 4
+    a = kpm.spectral_bound(system.host_data(), sk, impl="stencil")
+    N = lattice.size
+    v0 = np.zeros((N, 4, K), dtype=system.dtype)
+    v0[N // 2, np.arange(K), np.arange(K)] = 1.0
+
+    order = 24
+    want = np.asarray(kpm.moments(system.host_data(), sk, v0, order, a, impl="stencil"))
+    b = pk.pack_operator(system.host_data(), sk, K)
+    vp = pk.pack_vector(v0, sk)
+    got = np.asarray(
+        pk.moments_pallas_fused(b, vp, sk, jnp.float32(1.0 / a), order, K)
+    )
+    np.testing.assert_allclose(got, want, atol=3e-4)
