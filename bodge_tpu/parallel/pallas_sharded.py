@@ -75,11 +75,15 @@ def _is_packed_vector(v) -> bool:
     return v.ndim == 3 and not np.iscomplexobj(v)
 
 
-def pack_operator_sharded(rs: RowSharding, data):
+def pack_operator_sharded(rs: RowSharding, data, operator_dtype=None):
     """Host ELL block data ``[N, S, 4, 4]`` → plane-packed, row-sharded
-    ``[Lx, 2·S·16, P]`` float32 on the mesh."""
+    ``[Lx, 2·S·16, P]`` on the mesh (float32, or bfloat16 operator storage
+    via ``operator_dtype`` — same capacity/traffic knob as the
+    single-device :func:`bodge_tpu.ops.pallas_spmm.pack_operator`)."""
     lo = _require_plane_shardable(rs, BLOCK)
-    packed = pack_operator(np.asarray(data), rs.sk, K=lo.K, layout=lo)
+    packed = pack_operator(
+        np.asarray(data), rs.sk, K=lo.K, operator_dtype=operator_dtype, layout=lo
+    )
     return jax.device_put(packed, NamedSharding(rs.mesh, P(AXIS)))
 
 

@@ -310,3 +310,25 @@ def test_pallas_sharded_grad_wrt_vector():
     fd = (float(loss(v_sh + h * u)) - float(loss(v_sh - h * u))) / (2 * h)
     an = float(jnp.sum(jnp.asarray(g) * u))
     assert np.isclose(an, fd, rtol=2e-2, atol=1e-3), (an, fd)
+
+
+def test_pallas_sharded_bf16_operator():
+    """bf16 operator storage through the sharded path: same moments to
+    within bf16 drift."""
+    mesh = row_mesh()
+    lattice, system = build_system((16, 6, 1), pbc=True, seed=31)
+    rs = RowSharding(system.skeleton, mesh)
+    sk = system.skeleton
+    a = kpm.spectral_bound(system.host_data(), sk, impl="stencil")
+    N = lattice.size
+    v0 = np.zeros((N, 4, 4), dtype=system.dtype)
+    v0[N // 2, np.arange(4), np.arange(4)] = 1.0
+    v_sh = pack_vector_sharded(rs, v0)
+
+    b32 = pack_operator_sharded(rs, system.host_data())
+    b16 = pack_operator_sharded(rs, system.host_data(), operator_dtype=jnp.bfloat16)
+    assert b16.dtype == jnp.bfloat16
+    mu32 = np.asarray(moments_sharded_pallas(rs, b32, v_sh, 24, a))
+    mu16 = np.asarray(moments_sharded_pallas(rs, b16, v_sh, 24, a))
+    drift = np.abs(mu16 - mu32).max() / max(np.abs(mu32).max(), 1e-9)
+    assert 0 < drift < 5e-2, drift
