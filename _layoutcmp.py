@@ -14,10 +14,11 @@ from bodge_tpu.ops import pallas_spmm as ps
 
 L = int(sys.argv[1]) if len(sys.argv) > 1 else 200
 ORDER = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+W = int(sys.argv[3]) if len(sys.argv) > 3 else L
 K = 4
 assert jax.default_backend() == "tpu"
 
-lattice = CubicLattice((L, L, 1))
+lattice = CubicLattice((L, W, 1))
 system = Hamiltonian(lattice)
 system.assemble(
     onsite=lambda ci: -0.5 * σ0,
