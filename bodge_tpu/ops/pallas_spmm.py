@@ -645,17 +645,19 @@ def _accumulate_slots(sk: Skeleton, K: int, W: int, XB: int, bload, sources):
 # ---------------------------------------------------------------------------
 # Lane-tiled plane form (large P).
 # ---------------------------------------------------------------------------
-# The untiled plane kernels block only the x axis, so the per-step VMEM
-# working set grows linearly with the padded plane size P.  Past the
-# ~16 MiB/core VMEM the pipeline silently degrades from double- to
-# partial buffering — measured on the fused step as a clean efficiency
-# cliff vs P (94.8% of the traffic roof at P=512, 83.0% at P=640, 53.6%
-# at P=1024, same minutes, same kernel).  The tiled form keeps the
-# sublane-aligned XB=8 x-block AND bounds VMEM by adding a second grid
-# axis over PB-lane chunks of each plane; in-plane stencil shifts (|shift|
-# ≤ 128 lanes) read one 128-lane neighbor chunk per side, and the
-# periodic y-wrap (an arbitrary-distance lane jump) is reconstructed from
-# the plane's first/last 128-lane chunk with one dynamic lane roll.
+# EXPERIMENTAL (opt-in via BODGE_PLANE_TILED=1) — kept with its tests as
+# a documented investigation, not the default.  Hypothesis at the time:
+# the size-dependent efficiency drop of the untiled kernel (94.8% of the
+# traffic roof at P=512 → 53.6% at P=1024, same minutes) was per-step
+# VMEM pressure degrading the double-buffered pipeline; this form bounds
+# VMEM by adding a second grid axis over PB-lane chunks of each plane
+# while keeping the sublane-aligned XB=8 x-block (in-plane shifts read a
+# 128-lane neighbor chunk per side; the periodic y-wrap is rebuilt from
+# the plane's edge chunks with one dynamic lane roll).  The interleaved
+# A/B (_abtest2.py) FALSIFIED the hypothesis: tiled runs ~10% slower
+# than untiled in both f32 and bf16 at 1000×1000 (per-step VMEM was not
+# the bottleneck; the lane-tiled B fetches fragment the DMA stream).
+# See docs/perf_notes.md for the full campaign.
 
 TILE_PB_TARGET = 512
 # Double-buffered per-step budget the untiled kernel must exceed before
@@ -812,12 +814,14 @@ def _plane_cheb_step_tiled(b_packed, t_cur, t_prev, inv, sk: Skeleton, K: int):
 
 
 def _use_tiled_plane(sk: Skeleton, K: int, P: int) -> bool:
-    """Tiled form iff available AND the untiled aligned (XB=8) working set
-    would blow the VMEM budget (the measured efficiency cliff)."""
-    if _tile_plan(sk, K, P) is None:
+    """Opt-in only (BODGE_PLANE_TILED=1): the interleaved A/B measured the
+    tiled form ~10% slower than the untiled kernel, so it never
+    auto-dispatches.  The env knob keeps it drivable for experiments."""
+    import os
+
+    if os.environ.get("BODGE_PLANE_TILED") != "1":
         return False
-    step_rows = 2 * sk.n_slots * 16 + 4 * (2 * BLOCK * K) + _pp_rows(K)
-    return 2 * 8 * step_rows * P * 4 > TILE_VMEM_BUDGET
+    return _tile_plan(sk, K, P) is not None
 
 
 def _plane_stencil_kernel(

@@ -247,7 +247,7 @@ def test_bf16_operator_storage_knob(monkeypatch):
 def test_tiled_plane_cheb_matches_untiled(force_planes, monkeypatch, shape, pbc):
     """The lane-tiled fused step (large-P form) must agree with the
     untiled plane step for open AND periodic boundaries."""
-    monkeypatch.setattr(pk, "TILE_VMEM_BUDGET", 0)  # force the tiled form
+    monkeypatch.setenv("BODGE_PLANE_TILED", "1")  # opt into the tiled form
     lattice, system = build_system(shape, pbc=pbc, seed=12)
     sk = system.skeleton
     K = 4
@@ -255,7 +255,7 @@ def test_tiled_plane_cheb_matches_untiled(force_planes, monkeypatch, shape, pbc)
     assert lo.mode == "planes"
     P = lo.P
     assert pk._tile_plan(sk, K, P) is not None, (shape, P)
-    assert pk._use_tiled_plane(sk, K, P)
+    assert pk._use_tiled_plane(sk, K, P)  # env knob active
 
     rng = np.random.default_rng(3)
     v = (
@@ -275,9 +275,9 @@ def test_tiled_plane_cheb_matches_untiled(force_planes, monkeypatch, shape, pbc)
 
 
 def test_tiled_plane_dispatch(force_planes, monkeypatch):
-    """chebyshev_step_pallas routes to the tiled form past the VMEM budget
-    and fused moments stay exact through it."""
-    monkeypatch.setattr(pk, "TILE_VMEM_BUDGET", 0)
+    """chebyshev_step_pallas routes to the tiled form under the opt-in env
+    knob and fused moments stay exact through it."""
+    monkeypatch.setenv("BODGE_PLANE_TILED", "1")
     lattice, system = build_system((16, 140, 1), pbc=True, seed=20)
     sk = system.skeleton
     K = 4
