@@ -85,6 +85,13 @@ class Layout:
     P: int = 0  # padded plane size
 
 
+# The plane kernel overtakes the flat resident-vector kernel once the
+# lattice is large enough to amortize its per-plane pipeline and its x
+# extent is sublane-aligned (measured, docs/perf_notes.md: 128² planes
+# 15.3 µs vs flat 22.8; 200² 58.5 vs 62.0; but 64² flat 6.8 vs 9.1).
+PLANE_PREFERRED_MIN_SITES = 16384
+
+
 def plan(sk: Skeleton, K: int) -> Optional[Layout]:
     """Choose the kernel layout for this skeleton and probe count."""
     if not sk.stencil:
@@ -92,6 +99,11 @@ def plan(sk: Skeleton, K: int) -> Optional[Layout]:
     Lx, Ly, Lz = sk.shape
     N = sk.n_sites
     M = Ly * Lz
+
+    if Lx % 8 == 0 and N >= PLANE_PREFERRED_MIN_SITES:
+        lo = plane_layout(sk, K)
+        if lo is not None:
+            return lo
 
     T = min(FLAT_CHUNK, _round_up(N, 128))
     if M <= T:
