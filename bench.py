@@ -634,8 +634,8 @@ SECTIONS = {
     "kpm_ldos": bench_kpm_ldos,
     "consistency": bench_consistency,
     # The portable XLA stencil path, known to sit far below the kernel
-    # (kept for the record; measured once, no re-measure loop).
-    "spmm_planar": lambda: bench_spmm_chebyshev(impl="auto"),
+    # (kept for the record; short order — it is ~100× slower per step).
+    "spmm_planar": lambda: bench_spmm_chebyshev(order=48, impl="auto"),
 }
 
 # Generous first-compile budgets; cache-warm runs finish far faster.
@@ -904,8 +904,8 @@ def parent_main():
         "diag_kpm_tpu",
         "kpm_ldos",
         "assembly",
-        "diagonalize",
         "spmm_planar",
+        "diagonalize",
     ]
     for section in order:
         if time.monotonic() > deadline:
