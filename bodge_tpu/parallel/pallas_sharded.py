@@ -264,3 +264,37 @@ def free_energy_kpm_sharded_pallas(
     mu = moments_sharded_pallas(rs, data, z, order, scale)  # [order, samples]
     est = float(jnp.dot(jnp.asarray(coeffs, jnp.float32), jnp.sum(mu, axis=1)))
     return 0.5 * est / samples
+
+
+def ldos_kpm_sharded_pallas(
+    rs: RowSharding,
+    data,
+    site_indices,
+    energies,
+    order: int = 512,
+    kernel: str = "jackson",
+    scale: float = None,
+):
+    """Batched KPM LDOS at ``site_indices`` through the row-sharded Pallas
+    kernel — the multi-chip form of
+    :func:`bodge_tpu.ops.chebyshev.ldos_kpm_sites` (same probes, same
+    reconstruction; all 4·n_sites orbital probes ride one sharded sweep).
+    Returns ``[n_sites, n_energies]`` (electron component)."""
+    from ..ops.chebyshev import reconstruct_density, spectral_bound
+
+    if scale is None:
+        scale = float(spectral_bound(data, rs.sk, impl="stencil"))
+    site_indices = np.asarray(site_indices, dtype=np.int64)
+    n_sites = len(site_indices)
+    N = rs.sk.n_sites
+    K = BLOCK * n_sites
+    v0 = np.zeros((N, BLOCK, K), dtype=np.complex64)
+    cols = np.arange(K)
+    v0[np.repeat(site_indices, BLOCK), np.tile(np.arange(BLOCK), n_sites), cols] = 1.0
+
+    mu = moments_sharded_pallas(rs, data, v0, order, scale)  # [order, 4·n_sites]
+    energies = np.array(energies, dtype=float)
+    x = np.clip(energies / scale, -0.999999, 0.999999)
+    dens = np.asarray(reconstruct_density(mu, jnp.asarray(x), scale, kernel=kernel))
+    dens = dens.reshape(len(energies), n_sites, BLOCK)
+    return (dens[:, :, 0] + dens[:, :, 1]).T

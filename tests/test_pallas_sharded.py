@@ -332,3 +332,25 @@ def test_pallas_sharded_bf16_operator():
     mu16 = np.asarray(moments_sharded_pallas(rs, b16, v_sh, 24, a))
     drift = np.abs(mu16 - mu32).max() / max(np.abs(mu32).max(), 1e-9)
     assert 0 < drift < 5e-2, drift
+
+
+def test_pallas_sharded_ldos_matches_single_device():
+    from bodge_tpu.parallel.pallas_sharded import ldos_kpm_sharded_pallas
+
+    mesh = row_mesh()
+    lattice, system = build_system((16, 6, 1), pbc=False, seed=41)
+    rs = RowSharding(system.skeleton, mesh)
+    sk = system.skeleton
+    a = float(kpm.spectral_bound(system.host_data(), sk, impl="stencil"))
+
+    sites = [lattice[(8, 3, 0)], lattice[(0, 0, 0)]]
+    energies = np.linspace(-1.0, 1.0, 9)
+    order = 64
+    want = np.asarray(
+        kpm.ldos_kpm_sites(system.host_data(), sk, sites, energies,
+                           order=order, scale=a, impl="stencil")
+    )
+    got = ldos_kpm_sharded_pallas(rs, system.host_data(), sites, energies,
+                                  order=order, scale=a)
+    assert got.shape == want.shape == (2, 9)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
