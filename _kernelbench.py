@@ -64,6 +64,9 @@ def build(L):
 
 lattice, system = build(L)
 sk = system.skeleton
+# This harness decomposes the FLAT kernel; plan() now prefers the plane
+# layout at this size, so opt the policy out for the whole process.
+ps.PLANE_PREFERRED_MIN_SITES = 10**12
 lo = ps.plan(sk, K)
 assert lo is not None and lo.mode == "flat", f"need flat layout, got {lo}"
 N = lattice.size

@@ -18,6 +18,11 @@ W = int(sys.argv[3]) if len(sys.argv) > 3 else L
 K = 4
 assert jax.default_backend() == "tpu"
 
+# Bypass the measured plane-preference policy for the whole process: this
+# harness exists precisely to compare flat vs plane on the same config
+# (the flat kernels consult plan() internally at trace time too).
+ps.PLANE_PREFERRED_MIN_SITES = 10**12
+
 lattice = CubicLattice((L, W, 1))
 system = Hamiltonian(lattice)
 system.assemble(
@@ -71,8 +76,8 @@ for mode in ("flat", "planes"):
         step = lambda b, t, p: ps._plane_cheb_step(b, t, p, inv, sk, K)
     else:
         lo = ps.plan(sk, K)
-        if lo.mode != "flat":
-            print(f"{mode}: not available (plan chose {lo.mode})", file=sys.stderr)
+        if lo is None or lo.mode != "flat":
+            print(f"{mode}: not available (flat layout does not fit)", file=sys.stderr)
             continue
         b = ps.pack_operator(data, sk, K, layout=lo)
         vp = ps.pack_vector(v0, sk, layout=lo)

@@ -193,7 +193,6 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil", op_dtype="f32"):
     # exist (the planar XLA stencil sits at ~0.5% of roof by design) and
     # min-over-many-samples would bias them downward (advisor finding).
     timing_unreliable = False
-    slow_retried = False
     tries = 0
     while frac > 1.05 and tries < 3:
         log(f"[spmm:{impl}] implausible ({100*frac:.0f}% of roof); re-measuring...")
@@ -217,7 +216,6 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil", op_dtype="f32"):
         for _ in range(3):
             t_step = min(t_step, time_iterated(make_run, order, 4 * order, repeats=3))
         frac = step_bytes / t_step / hbm_bw
-        slow_retried = True
 
     nnz_scalars = sk.nnz_blocks * BLOCK * BLOCK
     roof = Roofline(
@@ -385,8 +383,8 @@ def bench_diag_kpm_tpu(L=100, order=4096, samples=8):
 
     Method: Jackson-kernel DOS on an energy grid spanning the gap region;
     the gap edge is the first energy where the DOS rises above a fraction
-    of its above-gap plateau.  Resolution ~ π·scale/order ≈ 0.007 at
-    order 2048 — comfortably below the 0.4 gap.
+    of its above-gap plateau.  Resolution ~ π·scale/order ≈ 0.0036 at the
+    default order 4096 — comfortably below the 0.4 gap.
     """
     lattice, system = build_swave(L)
     sk = system.skeleton
@@ -935,7 +933,19 @@ def parent_main():
             best = min((sp, again), key=lambda r: r["time_per_spmm_s"])
             best["measurement_passes"] = 2
             results["spmm_plane"] = best
-            _emit_headline(results)
+            # The driver line is printed exactly once (its contract), but
+            # the artifact's summary key must track the best measurement.
+            cands = [
+                r for r in (
+                    results.get("spmm_pallas"), results.get("spmm_pallas_bf16"),
+                    results.get("spmm_plane"), results.get("spmm_sharded"),
+                    results.get("spmm_planar"),
+                ) if r and not r.get("timing_unreliable")
+            ]
+            if cands:
+                results["chebyshev_spmm"] = max(
+                    cands, key=lambda r: r["fraction_of_roof"]
+                )
 
     if not _emit_headline(results):
         # Last resort: an unreliable figure beats no figure, flagged as 0.

@@ -351,6 +351,29 @@ def reconstruct_density(mu, energies_scaled, scale: float, kernel: str = "jackso
 LORENTZ_LAMBDA = 4.0
 
 
+def ldos_site_probes(N: int, site_indices, dtype) -> np.ndarray:
+    """One-hot orbital probes for LDOS: ``[N, 4, 4·n_sites]`` with a unit
+    column per (site, orbital).  Shared by the single-device and sharded
+    LDOS paths so the probe convention cannot diverge."""
+    site_indices = np.asarray(site_indices, dtype=np.int64)
+    n_sites = len(site_indices)
+    K = BLOCK * n_sites
+    v0 = np.zeros((N, BLOCK, K), dtype=dtype)
+    cols = np.arange(K)
+    v0[np.repeat(site_indices, BLOCK), np.tile(np.arange(BLOCK), n_sites), cols] = 1.0
+    return v0
+
+
+def ldos_from_moments(mu, energies, scale: float, kernel: str, n_sites: int) -> np.ndarray:
+    """Electron-component LDOS ``[n_sites, n_energies]`` from the moments of
+    :func:`ldos_site_probes` probes (shared reconstruction tail)."""
+    energies = np.array(energies, dtype=float)
+    x = np.clip(energies / scale, -0.999999, 0.999999)
+    dens = np.asarray(reconstruct_density(mu, jnp.asarray(x), scale, kernel=kernel))
+    dens = dens.reshape(len(energies), n_sites, BLOCK)
+    return (dens[:, :, 0] + dens[:, :, 1]).T
+
+
 def ldos_kpm(
     data,
     sk: Skeleton,
@@ -430,12 +453,8 @@ def ldos_kpm_sites(
 
     site_indices = np.asarray(site_indices, dtype=np.int64)
     n_sites = len(site_indices)
-    N = sk.n_sites
-    K = BLOCK * n_sites
     dtype = np.complex64 if _is_planar(data) else _host_dtype(data)
-    v0 = np.zeros((N, BLOCK, K), dtype=dtype)
-    cols = np.arange(K)
-    v0[np.repeat(site_indices, BLOCK), np.tile(np.arange(BLOCK), n_sites), cols] = 1.0
+    v0 = ldos_site_probes(sk.n_sites, site_indices, dtype)
 
     mu = moments(data, sk, v0, order, scale, impl=impl,
                  operator_dtype=operator_dtype)  # [order, 4·n_sites]

@@ -534,11 +534,13 @@ def _pick_xb(Lx: int, S: int, K: int, P: int, vmem_budget: int = 20 * 2**20) -> 
     the 1000×1000 config): a SUBLANE-TILE-ALIGNED leading block dim wins
     decisively — XB=8 runs at 89% of the traffic roof vs 62% at XB=5 and
     71% at XB=10 (unaligned leading dims fragment both the DMAs and the
-    vreg tiling).  So: multiples of 8 first, then even, then odd, largest
-    first within each class and the VMEM budget.
+    vreg tiling), and even sizes beat odd (XB=10 at 67% > XB=4 at 61% >
+    XB=5 at 57%).  So: 8 first (the measured optimum), then the larger
+    multiple of 8, then even sizes largest-first, then odd — within the
+    VMEM budget.
     """
     step_rows = 2 * S * 16 + 4 * (2 * BLOCK * K) + _pp_rows(K)
-    for xb in (8, 16, 4, 6, 2, 10, 14, 7, 5, 3):
+    for xb in (8, 16, 14, 12, 10, 6, 4, 2, 7, 5, 3):
         if Lx % xb == 0 and 2 * xb * step_rows * P * 4 <= vmem_budget:
             return xb
     return 1
@@ -600,27 +602,20 @@ def _plane_stencil_body(sk: Skeleton, K: int, P: int, XB: int, bload, vm, vc, vp
     else:
         v_xm, v_xp = vm, vp
 
-    accs = [jnp.zeros((XB, R2, P), dtype=jnp.float32) for _ in range(BLOCK)]
-
-    for s, (axis, d) in enumerate(sk.slots):
-        if axis < 0:
-            src = vc
-        elif axis == 0:
-            src = v_xp if d > 0 else v_xm
-        else:  # axis 1 or 2: in-plane lane shift (collapse is layout-free)
-            flat = vc.reshape(XB * Rv, P)
-            src = _shifted_plane_rows(sk, P, flat, col, axis, d).reshape(XB, Rv, P)
-
-        for bb in range(BLOCK):
-            u = src[:, bb * R2 : (bb + 1) * R2, :]  # [XB, 2K, P]
-            usw = jnp.concatenate([-u[:, K:], u[:, :K]], axis=1)
-            for a in range(BLOCK):
-                wr = bload(0, s, a, bb)[:, None, :]  # [XB, 1, P] → sublane bcast
-                wi = bload(1, s, a, bb)[:, None, :]
-                accs[a] = accs[a] + wr * u + wi * usw
+    def sources():
+        for s, (axis, d) in enumerate(sk.slots):
+            if axis < 0:
+                yield s, vc
+            elif axis == 0:
+                yield s, (v_xp if d > 0 else v_xm)
+            else:  # axis 1 or 2: in-plane lane shift (collapse is layout-free)
+                flat = vc.reshape(XB * Rv, P)
+                yield s, _shifted_plane_rows(sk, P, flat, col, axis, d).reshape(
+                    XB, Rv, P
+                )
 
     # Row order of the packed layout: (a, re/im, k).
-    return jnp.concatenate(accs, axis=1)  # [XB, 4·2K, P]
+    return _accumulate_slots(sk, K, P, XB, bload, sources())  # [XB, 4·2K, P]
 
 
 def _bload_from_ref(b_ref, sk: Skeleton):

@@ -280,21 +280,17 @@ def ldos_kpm_sharded_pallas(
     :func:`bodge_tpu.ops.chebyshev.ldos_kpm_sites` (same probes, same
     reconstruction; all 4·n_sites orbital probes ride one sharded sweep).
     Returns ``[n_sites, n_energies]`` (electron component)."""
-    from ..ops.chebyshev import reconstruct_density, spectral_bound
+    from ..ops.chebyshev import ldos_from_moments, ldos_site_probes, spectral_bound
 
     if scale is None:
+        if _is_packed_operator(data):
+            raise ValueError(
+                "scale= is required with a pre-packed operator (the spectral "
+                "bound needs the complex ELL data; compute it once before "
+                "packing, or pass the host data here)"
+            )
         scale = float(spectral_bound(data, rs.sk, impl="stencil"))
     site_indices = np.asarray(site_indices, dtype=np.int64)
-    n_sites = len(site_indices)
-    N = rs.sk.n_sites
-    K = BLOCK * n_sites
-    v0 = np.zeros((N, BLOCK, K), dtype=np.complex64)
-    cols = np.arange(K)
-    v0[np.repeat(site_indices, BLOCK), np.tile(np.arange(BLOCK), n_sites), cols] = 1.0
-
+    v0 = ldos_site_probes(rs.sk.n_sites, site_indices, np.complex64)
     mu = moments_sharded_pallas(rs, data, v0, order, scale)  # [order, 4·n_sites]
-    energies = np.array(energies, dtype=float)
-    x = np.clip(energies / scale, -0.999999, 0.999999)
-    dens = np.asarray(reconstruct_density(mu, jnp.asarray(x), scale, kernel=kernel))
-    dens = dens.reshape(len(energies), n_sites, BLOCK)
-    return (dens[:, :, 0] + dens[:, :, 1]).T
+    return ldos_from_moments(mu, energies, scale, kernel, len(site_indices))
