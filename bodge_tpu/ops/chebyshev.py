@@ -279,6 +279,7 @@ def moments(
             moments_pallas_fused,
             pack_operator,
             pack_vector,
+            plan,
             supported,
         )
 
@@ -291,6 +292,35 @@ def moments(
             return moments_pallas_fused(
                 b_packed, v0_packed, sk, jnp.float32(1.0 / scale), order, K
             )
+        # Large probe batches (LDOS maps: K = 4·n_sites) exceed the
+        # kernels' per-step VMEM working set.  Probe columns are
+        # independent, so split them into the widest feasible chunks and
+        # run one fused sweep per chunk over the SAME packed operator —
+        # still far faster than the XLA fallback (which trades kernel
+        # traffic for a ~100× slower stencil).
+        kc = next((k for k in (32, 16, 8, 4) if k < K and supported(sk, k)), None)
+        if kc is not None:
+            lo = plan(sk, kc)
+            b_packed = pack_operator(
+                data, sk, kc, operator_dtype=_operator_storage(operator_dtype),
+                layout=lo,
+            )
+            inv = jnp.float32(1.0 / scale)
+            host = isinstance(v0, np.ndarray)
+            xp = np if host else jnp
+            outs = []
+            for i0 in range(0, K, kc):
+                cols = v0[..., i0 : i0 + kc]
+                pad = kc - cols.shape[-1]
+                if pad:
+                    cols = xp.concatenate(
+                        [cols, xp.zeros(cols.shape[:-1] + (pad,), dtype=cols.dtype)],
+                        axis=-1,
+                    )
+                v0p = pack_vector(cols, sk, layout=lo)
+                mu = moments_pallas_fused(b_packed, v0p, sk, inv, order, kc)
+                outs.append(mu[:, : kc - pad] if pad else mu)
+            return jnp.concatenate(outs, axis=1)
         impl = "stencil"
     inv = jnp.asarray(1.0 / scale, dtype=jnp.real(jnp.zeros((), data.dtype)).dtype)
     if impl == "pallas_unfused":

@@ -117,19 +117,34 @@ def plan(sk: Skeleton, K: int) -> Optional[Layout]:
     return plane_layout(sk, K)
 
 
+# Per-plane working-set cap for the plane kernels: the fused step holds
+# operator rows plus several [·, 2K·4, P] vector intermediates live, so a
+# large probe count K can blow the kernel's scoped-VMEM stack even at one
+# plane per grid step (observed: a 576-site LDOS map, K=2304, OOMs Mosaic
+# with a 90 MB stack).  The 4× factor is a margin for the live
+# intermediates; past the cap callers fall back or chunk the probe
+# columns (chebyshev.moments does this automatically).
+PLANE_KERNEL_VMEM_CAP = 24 * 2**20
+
+
 def plane_layout(sk: Skeleton, K: int) -> Optional[Layout]:
     """The plane layout for this skeleton, regardless of size heuristics.
 
     Used directly by the row-sharded path (x-slabs are sequences of planes,
     so the plane layout is the only one that shards along x) and by tests
-    that force plane-mode coverage on small lattices.
+    that force plane-mode coverage on small lattices.  Returns None when
+    the probe count K makes the kernel's VMEM working set infeasible.
     """
     if not sk.stencil:
         return None
     Lx, Ly, Lz = sk.shape
     M = Ly * Lz
     if Lx > 1 and M > 1:
-        return Layout(mode="planes", K=K, P=_round_up(M, 128))
+        P = _round_up(M, 128)
+        rows = 2 * sk.n_slots * 16 + 4 * (2 * BLOCK * K) + _pp_rows(K)
+        if rows * P * 4 * 4 > PLANE_KERNEL_VMEM_CAP:
+            return None
+        return Layout(mode="planes", K=K, P=P)
     return None
 
 

@@ -291,6 +291,14 @@ def ldos_kpm_sharded_pallas(
             )
         scale = float(spectral_bound(data, rs.sk, impl="stencil"))
     site_indices = np.asarray(site_indices, dtype=np.int64)
-    v0 = ldos_site_probes(rs.sk.n_sites, site_indices, np.complex64)
-    mu = moments_sharded_pallas(rs, data, v0, order, scale)  # [order, 4·n_sites]
-    return ldos_from_moments(mu, energies, scale, kernel, len(site_indices))
+    # Probe columns are independent; chunk large maps so the kernel's
+    # per-step VMEM working set stays feasible (K = 4·n_sites grows with
+    # the map — see pallas_spmm.PLANE_KERNEL_VMEM_CAP).
+    chunk_sites = 8  # K = 32 probe columns per sweep
+    rows = []
+    for i0 in range(0, len(site_indices), chunk_sites):
+        part = site_indices[i0 : i0 + chunk_sites]
+        v0 = ldos_site_probes(rs.sk.n_sites, part, np.complex64)
+        mu = moments_sharded_pallas(rs, data, v0, order, scale)
+        rows.append(ldos_from_moments(mu, energies, scale, kernel, len(part)))
+    return np.concatenate(rows, axis=0)

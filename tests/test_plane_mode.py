@@ -294,3 +294,41 @@ def test_tiled_plane_dispatch(force_planes, monkeypatch):
         pk.moments_pallas_fused(b, vp, sk, jnp.float32(1.0 / a), order, K)
     )
     np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_huge_probe_batch_chunks_through_pallas(monkeypatch):
+    """LDOS-map-sized probe batches (K = 4·n_sites) must not OOM the
+    kernels: plan() rejects infeasible K and moments() chunks the columns
+    through the widest feasible layout (caught by examples/edge_states_map
+    on real TPU: a 576-site map allocated a 90 MB Mosaic stack)."""
+    monkeypatch.setenv("BODGE_PLANAR", "1")
+    monkeypatch.setenv("BODGE_PALLAS_UPGRADE", "1")
+    from bodge_tpu.hamiltonian import use_planar_device_path
+
+    use_planar_device_path.cache_clear()
+    try:
+        lattice, system = build_system((8, 6, 1), pbc=False, seed=14)
+        sk = system.skeleton
+        N = lattice.size
+        K = 4 * 40  # 40-site map: beyond any single-sweep layout here
+        assert pk.plan(sk, K) is None or pk.plan(sk, K).mode == "flat"
+
+        a = kpm.spectral_bound(system.host_data(), sk, impl="stencil")
+        rng = np.random.default_rng(2)
+        v0 = (rng.normal(size=(N, 4, K)) + 1j * rng.normal(size=(N, 4, K))).astype(
+            system.dtype
+        )
+        got = np.asarray(kpm.moments(system.host_data(), sk, v0, 12, a, impl="pallas"))
+        want = np.asarray(
+            kpm.moments(system.host_data(), sk, v0, 12, a, impl="stencil")
+        )
+        np.testing.assert_allclose(got, want, atol=3e-4)
+    finally:
+        use_planar_device_path.cache_clear()
+
+
+def test_plane_layout_rejects_infeasible_probe_count():
+    lattice, system = build_system((24, 24, 1), pbc=False, seed=1)
+    sk = system.skeleton
+    assert pk.plane_layout(sk, 4) is not None
+    assert pk.plane_layout(sk, 4 * 576) is None  # whole-lattice LDOS map
