@@ -322,24 +322,10 @@ def bench_diagonalize(sizes=(32, 48)):
         t_build = time.perf_counter() - t0
         entry = {"L": L, "build_s": t_build, "dim": 4 * lattice.size}
 
-        try:
-            t0 = time.perf_counter()
-            E = np.asarray(
-                pl_ops.eigvalsh_planar(system.device_operator(), system.skeleton)
-            )
-            entry["device_cold_s"] = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            E = np.asarray(
-                pl_ops.eigvalsh_planar(system.device_operator(), system.skeleton)
-            )
-            entry["device_warm_s"] = time.perf_counter() - t0
-            entry["gap_device"] = float(E[E > 0].min())
-            log(f"[diag] {L}×{L}: device eigvalsh cold "
-                f"{entry['device_cold_s']:.1f} s / warm {entry['device_warm_s']:.2f} s")
-        except Exception as e:
-            entry["device_error"] = f"{type(e).__name__}: {str(e)[:160]}"
-            log(f"[diag] {L}×{L}: device eigh unavailable ({str(e)[:80]}...)")
-
+        # Banded host solve FIRST (fast, reliable, flushed immediately);
+        # the device eigh attempt follows — its remote compile can hang
+        # for minutes through the tunnel, and a killed attempt must not
+        # take the exact result down with it.
         # The banded host solve scales ~L^6 (O(dim²·bw), dim=4L², bw∝L);
         # measured 86.7 s at L=48 on this 2-core host.  Skip any size whose
         # prediction blows the section's host budget — the exact 100×100
@@ -368,6 +354,25 @@ def bench_diagonalize(sizes=(32, 48)):
                 entry["banded_error"] = f"{type(e).__name__}: {str(e)[:160]}"
         out.append(entry)
         _flush_partial(out)  # each size survives a mid-section kill
+
+        try:
+            t0 = time.perf_counter()
+            E = np.asarray(
+                pl_ops.eigvalsh_planar(system.device_operator(), system.skeleton)
+            )
+            entry["device_cold_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            E = np.asarray(
+                pl_ops.eigvalsh_planar(system.device_operator(), system.skeleton)
+            )
+            entry["device_warm_s"] = time.perf_counter() - t0
+            entry["gap_device"] = float(E[E > 0].min())
+            log(f"[diag] {L}×{L}: device eigvalsh cold "
+                f"{entry['device_cold_s']:.1f} s / warm {entry['device_warm_s']:.2f} s")
+        except Exception as e:
+            entry["device_error"] = f"{type(e).__name__}: {str(e)[:160]}"
+            log(f"[diag] {L}×{L}: device eigh unavailable ({str(e)[:80]}...)")
+        _flush_partial(out)
     return out
 
 
@@ -500,6 +505,68 @@ def bench_consistency(L=12, order=48):
             "dtype": str(np.dtype(system.dtype))}
 
 
+def bench_spmm_3d_rashba(shape=(64, 64, 4), order=256, K=4):
+    """BASELINE config 4: 3D Rashba spin–orbit + mixed d+p-wave pairing.
+
+    Exercises the full 7-slot 3D stencil (diagonal + 6 axis neighbors)
+    with complex hopping blocks — the structurally hardest kernel config —
+    at sustained KPM-scan throughput (same methodology as the headline).
+    """
+    hbm_bw = hbm_roof_for_device(jax.devices()[0])
+    from bodge_tpu.models.systems import rashba_dp_wave
+    from bodge_tpu.ops.pallas_spmm import chebyshev_step_pallas, pack_operator, pack_vector
+
+    system = rashba_dp_wave(shape)
+    sk = system.skeleton
+    dtype = system.dtype
+    N = sk.n_sites
+
+    v0 = np.zeros((N, BLOCK, K), dtype=dtype)
+    v0[N // 2, np.arange(min(BLOCK, K)) % BLOCK, np.arange(min(BLOCK, K))] = 1.0
+    b_packed = pack_operator(system.host_data(), sk, K)
+    v0p = pack_vector(v0, sk)
+    inv = jnp.asarray(0.1, jnp.float32)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_spmm(data, v, inv, n):
+        def step(carry, _):
+            t_prev, t_cur = carry
+            t_next, _pp = chebyshev_step_pallas(data, t_cur, t_prev, inv, sk, K)
+            return (t_cur, t_next), None
+
+        (_, out), _ = jax.lax.scan(step, (v, v), None, length=n)
+        return out.ravel()[0]
+
+    def make_run(n):
+        return lambda: float(scan_spmm(b_packed, v0p, inv, n))
+
+    log(f"[spmm:3d] compiling scan {shape} (order={order}, K={K})...")
+    t_step = min(
+        time_iterated(make_run, order, 4 * order, repeats=3) for _ in range(4)
+    )
+    itemsize = np.dtype(dtype).itemsize
+    step_bytes = chebyshev_step_bytes(sk, K, itemsize)
+    frac = step_bytes / t_step / hbm_bw
+    nnz_scalars = sk.nnz_blocks * BLOCK * BLOCK
+    log(f"[spmm:3d] {t_step*1e6:.1f} µs/step → {nnz_scalars/t_step/1e9:.2f} Gnnz/s "
+        f"({100*frac:.1f}% of roof)")
+    return {
+        "impl": "pallas",
+        "system": "rashba_dp_wave",
+        "lattice": list(shape),
+        "order": order,
+        "K": K,
+        "n_slots": sk.n_slots,
+        "time_per_spmm_s": t_step,
+        "nnz_scalars": nnz_scalars,
+        "nnz_per_s": nnz_scalars / t_step,
+        "bytes_per_spmm": step_bytes,
+        "hbm_roof_GBps": hbm_bw / 1e9,
+        "fraction_of_roof": frac,
+        "timing_unreliable": bool(frac > 1.05),
+    }
+
+
 def bench_spmm_bf16():
     """Half-traffic operator storage (bf16 blocks, f32 compute/vectors).
 
@@ -626,6 +693,7 @@ SECTIONS = {
         L=1000, order=64, impl="pallas", op_dtype="bf16"
     ),
     "spmm_sharded": lambda: bench_spmm_sharded(),
+    "spmm_3d_rashba": bench_spmm_3d_rashba,
     "assembly": bench_assembly,
     "diagonalize": bench_diagonalize,
     "diag_kpm_tpu": bench_diag_kpm_tpu,
@@ -644,6 +712,7 @@ SECTION_TIMEOUT_S = {
     "spmm_plane": 1200,
     "spmm_plane_bf16": 900,
     "spmm_sharded": 900,
+    "spmm_3d_rashba": 900,
     "assembly": 600,
     "diagonalize": 900,
     "diag_kpm_tpu": 600,
@@ -898,6 +967,7 @@ def parent_main():
         "spmm_sharded",
         "spmm_pallas_bf16",
         "spmm_plane_bf16",
+        "spmm_3d_rashba",
         "consistency",
         "diag_kpm_tpu",
         "kpm_ldos",
