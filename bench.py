@@ -985,7 +985,12 @@ def parent_main():
     # the driver records, and a stall-kill during an outage window must
     # not forfeit it while budget remains.
     attempts = {"spmm_pallas": 4}
-    for section in order:
+    # The driver line is printed once, as soon as the FAST SpMM block
+    # (first four sections, each 1–3 min warm) has been attempted — late
+    # enough to pick the best of those configs, early enough that no slow
+    # section can bury it before an external timeout (the round-1 failure).
+    fast_block = 4
+    for idx, section in enumerate(order):
         if time.monotonic() > deadline:
             log(f"[bench] global deadline reached; skipping {section}")
             results[section] = None
@@ -993,7 +998,8 @@ def parent_main():
         results[section] = run_section(
             section, attempts=attempts.get(section, 2), deadline=deadline
         )
-        _emit_headline(results)
+        if idx + 1 >= fast_block or time.monotonic() > deadline - 600:
+            _emit_headline(results)
         _write_results(results)
 
     # Second chance for the large-lattice section: its readings are
