@@ -998,7 +998,8 @@ def parent_main():
         results[section] = run_section(
             section, attempts=attempts.get(section, 2), deadline=deadline
         )
-        if idx + 1 >= fast_block or time.monotonic() > deadline - 600:
+        elapsed = time.monotonic() - (deadline - budget)
+        if idx + 1 >= fast_block or elapsed > 420:
             _emit_headline(results)
         _write_results(results)
 
