@@ -310,3 +310,35 @@ def ldos_kpm_sharded_pallas(
         mu = moments_sharded_pallas(rs, data, v0, order, scale)
         rows.append(ldos_from_moments(mu, energies, scale, kernel, len(part)))
     return np.concatenate(rows, axis=0)
+
+
+def dos_kpm_sharded_pallas(
+    rs: RowSharding,
+    data,
+    energies,
+    order: int = 512,
+    kernel: str = "jackson",
+    scale: float = None,
+    samples: int = 16,
+    key=None,
+):
+    """Total density of states via the row-sharded Pallas KPM sweep — the
+    multi-chip form of :func:`bodge_tpu.ops.chebyshev.dos_kpm` (same
+    Rademacher probes for identical keys, same reconstruction).  Completes
+    the sharded observable set: SpMM, moments, free energy, LDOS, DOS."""
+    from ..ops.chebyshev import reconstruct_density, spectral_bound
+
+    if scale is None:
+        if _is_packed_operator(data):
+            raise ValueError(
+                "scale= is required with a pre-packed operator (compute the "
+                "spectral bound once before packing, or pass the host data)"
+            )
+        scale = float(spectral_bound(data, rs.sk, impl="stencil"))
+    z = rademacher_probes(rs.sk.n_sites, samples, key, np.complex64, default_seed=1)
+    mu = moments_sharded_pallas(rs, data, z, order, scale)  # [order, samples]
+    mu_tr = jnp.sum(mu, axis=1) / samples
+    energies = np.array(energies, dtype=float)
+    x = np.clip(energies / scale, -0.999999, 0.999999)
+    dens = reconstruct_density(mu_tr[:, None], jnp.asarray(x), scale, kernel=kernel)
+    return np.asarray(dens[:, 0])

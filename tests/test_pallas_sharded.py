@@ -354,3 +354,23 @@ def test_pallas_sharded_ldos_matches_single_device():
                                   order=order, scale=a)
     assert got.shape == want.shape == (2, 9)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
+
+
+def test_pallas_sharded_dos_matches_single_device():
+    from bodge_tpu.parallel.pallas_sharded import dos_kpm_sharded_pallas
+
+    mesh = row_mesh()
+    lattice, system = build_system((16, 6, 1), pbc=True, seed=51)
+    rs = RowSharding(system.skeleton, mesh)
+    sk = system.skeleton
+    a = float(kpm.spectral_bound(system.host_data(), sk, impl="stencil"))
+
+    energies = np.linspace(-1.2, 1.2, 11)
+    key = jax.random.PRNGKey(5)
+    want = np.asarray(
+        kpm.dos_kpm(system.host_data(), sk, energies, order=64, scale=a,
+                    samples=8, key=key, impl="stencil")
+    )
+    got = dos_kpm_sharded_pallas(rs, system.host_data(), energies, order=64,
+                                 scale=a, samples=8, key=key)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
