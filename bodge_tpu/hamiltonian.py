@@ -782,6 +782,7 @@ class Hamiltonian:
         method: str = "exact",
         order: Optional[int] = None,
         kernel: str = "jackson",
+        **kpm_kwargs,
     ) -> np.ndarray:
         """Local density of states at ``site`` for the given energies.
 
@@ -792,16 +793,25 @@ class Hamiltonian:
 
         ``method="kpm"`` uses the Chebyshev/KPM expansion driven by the
         block-sparse SpMM — the scalable TPU path for large lattices.
+        Extra keywords (``eta=`` for a target Lorentzian broadening,
+        ``scale=``, ``operator_dtype=``, ``impl=``) are forwarded to
+        :func:`bodge_tpu.ops.chebyshev.ldos_kpm`, matching the forwarding
+        that ``free_energy`` and ``ldos_map`` already do.
         """
         i = self.lattice[site]
         if method == "exact":
-            E, X = self._full_spectrum()
-            return dense_ops.ldos_from_spectrum(E, X, i, energies)
+            if kpm_kwargs:
+                raise TypeError(
+                    f"ldos(method='exact') got unexpected KPM keywords: "
+                    f"{sorted(kpm_kwargs)}"
+                )
+            return dense_ops.ldos_from_spectrum(*self._full_spectrum(), i, energies)
         if method == "kpm":
             from .ops import chebyshev
 
             return chebyshev.ldos_kpm(
-                self._data, self._sk, i, energies, order=order, kernel=kernel
+                self._data, self._sk, i, energies, order=order, kernel=kernel,
+                **kpm_kwargs,
             )
         raise RuntimeError(f"LDOS method '{method}' is not supported")
 

@@ -151,9 +151,12 @@ def make_total_free_energy(
             from ..ops import pallas_spmm as pk
 
             if pk.plan(sk, samples) is None:
+                # plan() declines for two distinct reasons (advisor
+                # finding): no kernel for the skeleton at all, or a
+                # probe count blowing the kernel's VMEM cap.
                 raise ValueError(
-                    "impl='pallas' needs a cubic stencil skeleton (use "
-                    "impl='stencil' for generic lattices)"
+                    f"impl='pallas' declined: {pk.decline_reason(sk, samples)} "
+                    f"(use impl='stencil', or fewer samples)"
                 )
 
             def F_total(delta):

@@ -153,6 +153,27 @@ def supported(sk: Skeleton, K: int = 4) -> bool:
     return plan(sk, K) is not None
 
 
+def decline_reason(sk: Skeleton, K: int = 4) -> Optional[str]:
+    """Why ``plan(sk, K)`` declines, or None when the kernel covers it.
+
+    Distinguishes the two causes (advisor finding, round 3): a non-stencil
+    skeleton has no Pallas kernel at all, while a stencil skeleton can
+    still be declined when the probe count blows the plane kernel's
+    scoped-VMEM working-set cap — the latter is fixable by chunking K.
+    """
+    if plan(sk, K) is not None:
+        return None
+    if not sk.stencil:
+        return (
+            "the skeleton is not a cubic-lattice stencil (generic / "
+            "FrozenLattice skeletons run on the XLA gather path)"
+        )
+    return (
+        f"probe count K={K} exceeds the plane kernel's VMEM working-set "
+        f"cap for lattice shape {tuple(sk.shape)} (chunk the probe columns)"
+    )
+
+
 # ===========================================================================
 # Flat layout: packing.
 # ===========================================================================
@@ -545,7 +566,7 @@ def _pick_xb(Lx: int, S: int, K: int, P: int, vmem_budget: int = 20 * 2**20) -> 
     and the per-step working set (operator + 3 vector blocks + outputs,
     double-buffered) must fit comfortably in VMEM.
 
-    Preference order is measured, not monotone (_planebench.py sweep on
+    Preference order is measured, not monotone (scripts/_planebench.py sweep on
     the 1000×1000 config): a SUBLANE-TILE-ALIGNED leading block dim wins
     decisively — XB=8 runs at 89% of the traffic roof vs 62% at XB=5 and
     71% at XB=10 (unaligned leading dims fragment both the DMAs and the
@@ -676,7 +697,7 @@ def _accumulate_slots(sk: Skeleton, K: int, W: int, XB: int, bload, sources):
 # while keeping the sublane-aligned XB=8 x-block (in-plane shifts read a
 # 128-lane neighbor chunk per side; the periodic y-wrap is rebuilt from
 # the plane's edge chunks with one dynamic lane roll).  The interleaved
-# A/B (_abtest2.py) FALSIFIED the hypothesis: tiled runs ~10% slower
+# A/B (scripts/_abtest2.py) FALSIFIED the hypothesis: tiled runs ~10% slower
 # than untiled in both f32 and bf16 at 1000×1000 (per-step VMEM was not
 # the bottleneck; the lane-tiled B fetches fragment the DMA stream).
 # See docs/perf_notes.md for the full campaign.

