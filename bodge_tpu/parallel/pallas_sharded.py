@@ -28,17 +28,25 @@ Key facts the design leans on:
 Reference analog: none (the reference is single-process,
 reference README "no support for e.g. MPI"); SURVEY §2.2 halo-exchange row.
 
-Known next step for multi-chip latency hiding (SURVEY §7 hard part 5):
-split each local step into an interior call (planes [1, Lxl−1), no halo
-dependence) and two boundary-plane calls, so XLA can overlap the
-``ppermute`` with interior compute.  Not done here because this
-environment has one physical chip — the split cannot be measured, and on
-one device it only adds launch overhead to a path that already sustains
-82–86% of the HBM roof.
+Multi-chip latency hiding (SURVEY §7 hard part 5) — the
+interior/boundary overlap split, ``overlap=True`` or ``BODGE_HALO_OVERLAP=1``:
+each local step issues the ``ppermute`` first, then computes the interior
+planes ``[1, Lxl−1)`` (which have no halo dependence) in one kernel call,
+then the two boundary planes in two single-plane calls that consume the
+arrived halos.  The interior call carries no data dependence on the
+collective, so XLA's latency-hiding scheduler can run the ICI transfer
+under the interior compute — on a pod this converts the halo latency from
+serial overhead into overlap.  Default off: this environment has one
+physical chip, where the split's extra kernel launches only cost (the
+monolithic path already sustains 82–97% of the HBM roof single-chip);
+correctness of the split (outputs AND gradients) is proven on the
+8-virtual-device CPU mesh (tests/test_pallas_sharded.py) and exercised by
+``dryrun_multichip``.
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -113,6 +121,86 @@ def pack_vector_sharded(rs: RowSharding, v):
     return jax.device_put(packed, NamedSharding(rs.mesh, P(AXIS)))
 
 
+def _overlap_from_env() -> bool:
+    """Default for the interior/boundary overlap split (see module docs)."""
+    return os.environ.get("BODGE_HALO_OVERLAP") == "1"
+
+
+def _resolve_overlap(overlap, Lxl: int) -> bool:
+    if overlap is None:
+        overlap = _overlap_from_env()
+    # The split needs a non-empty interior; thin slabs use the monolithic
+    # kernel (they are all boundary anyway).
+    return bool(overlap) and Lxl >= 3
+
+
+def _make_local_cheb_step(sk: Skeleton, K: int, Lxl: int, n_shards: int,
+                          overlap: bool):
+    """Per-device fused Chebyshev step closure
+    ``(b_l, t_cur, t_prev, inv) → (t_next[Lxl], partials[Lxl, 2K])``.
+
+    ``overlap=True`` is the interior/boundary split: the ppermute is issued
+    first, the interior kernel (planes [1, Lxl−1)) consumes only local
+    planes, and the two boundary-plane kernels consume the halos — XLA can
+    schedule the collective under the interior compute.
+    """
+    if Lxl < 3:
+        overlap = False  # no interior to overlap with
+    if not overlap:
+        kernel = plane_cheb_step_halo_ad(sk, K, Lxl)
+
+        def step(b_l, t_cur, t_prev, inv):
+            hm, hp = _halo_planes(t_cur, n_shards)
+            return kernel(b_l, t_cur, hm, hp, t_prev, inv)
+
+        return step
+
+    k_int = plane_cheb_step_halo_ad(sk, K, Lxl - 2)
+    k_bnd = plane_cheb_step_halo_ad(sk, K, 1)
+
+    def step(b_l, t_cur, t_prev, inv):
+        hm, hp = _halo_planes(t_cur, n_shards)  # issued before the interior
+        t_int, pp_int = k_int(
+            b_l[1:-1], t_cur[1:-1], t_cur[:1], t_cur[-1:], t_prev[1:-1], inv
+        )
+        t_lo, pp_lo = k_bnd(b_l[:1], t_cur[:1], hm, t_cur[1:2], t_prev[:1], inv)
+        t_hi, pp_hi = k_bnd(
+            b_l[-1:], t_cur[-1:], t_cur[-2:-1], hp, t_prev[-1:], inv
+        )
+        t_next = jnp.concatenate([t_lo, t_int, t_hi], axis=0)
+        pp = jnp.concatenate([pp_lo, pp_int, pp_hi], axis=0)
+        return t_next, pp
+
+    return step
+
+
+def _make_local_spmm(sk: Skeleton, K: int, Lxl: int, n_shards: int,
+                     overlap: bool):
+    """Per-device plain SpMM closure ``(b_l, v_l) → y_l`` (same split)."""
+    if Lxl < 3:
+        overlap = False
+    if not overlap:
+        kernel = plane_spmm_halo_ad(sk, K, Lxl)
+
+        def apply(b_l, v_l):
+            hm, hp = _halo_planes(v_l, n_shards)
+            return kernel(b_l, v_l, hm, hp)
+
+        return apply
+
+    k_int = plane_spmm_halo_ad(sk, K, Lxl - 2)
+    k_bnd = plane_spmm_halo_ad(sk, K, 1)
+
+    def apply(b_l, v_l):
+        hm, hp = _halo_planes(v_l, n_shards)
+        y_int = k_int(b_l[1:-1], v_l[1:-1], v_l[:1], v_l[-1:])
+        y_lo = k_bnd(b_l[:1], v_l[:1], hm, v_l[1:2])
+        y_hi = k_bnd(b_l[-1:], v_l[-1:], v_l[-2:-1], hp)
+        return jnp.concatenate([y_lo, y_int, y_hi], axis=0)
+
+    return apply
+
+
 def _halo_planes(t_local, n_shards: int):
     """Neighbor halo planes ``(hm, hp)``, each ``[1, rows, P]`` (ring
     ppermute; wrap = periodic partner).  Passed to the kernel as separate
@@ -125,16 +213,13 @@ def _halo_planes(t_local, n_shards: int):
     return hm, hp
 
 
-@partial(jax.jit, static_argnames=("rs", "K"))
-def _spmm_pallas_sharded_jit(rs: RowSharding, b_sh, v_sh, K: int):
+@partial(jax.jit, static_argnames=("rs", "K", "overlap"))
+def _spmm_pallas_sharded_jit(rs: RowSharding, b_sh, v_sh, K: int,
+                             overlap: bool = False):
     sk, n = rs.sk, rs.n_shards
     Lxl = sk.shape[0] // n
 
-    kernel = plane_spmm_halo_ad(sk, K, Lxl)
-
-    def local(b_l, v_l):
-        hm, hp = _halo_planes(v_l, n)
-        return kernel(b_l, v_l, hm, hp)
+    local = _make_local_spmm(sk, K, Lxl, n, overlap)
 
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes
     # annotation, and the kernel is manually sharded by construction.
@@ -145,34 +230,37 @@ def _spmm_pallas_sharded_jit(rs: RowSharding, b_sh, v_sh, K: int):
     return fn(b_sh, v_sh)
 
 
-def spmm_sharded_pallas(rs: RowSharding, data, v):
+def spmm_sharded_pallas(rs: RowSharding, data, v, overlap: Optional[bool] = None):
     """``H @ v`` with H row-partitioned, computed by the Pallas plane kernel.
 
     Accepts host complex inputs (packed/sharded internally) or already
     plane-packed sharded arrays; the output matches the input form.
+    ``overlap`` selects the interior/boundary halo-overlap split (default:
+    the BODGE_HALO_OVERLAP env knob).
     """
+    ov = _resolve_overlap(overlap, rs.sk.shape[0] // rs.n_shards)
     if _is_packed_operator(data) and _is_packed_vector(v):
         K = v.shape[1] // (2 * BLOCK)
-        return _spmm_pallas_sharded_jit(rs, data, v, K)
+        return _spmm_pallas_sharded_jit(rs, data, v, K, ov)
     K = int(v.shape[-1])
     lo = _require_plane_shardable(rs, K)
     b_sh = pack_operator_sharded(rs, data)
     v_sh = pack_vector_sharded(rs, v)
-    y = _spmm_pallas_sharded_jit(rs, b_sh, v_sh, K)
+    y = _spmm_pallas_sharded_jit(rs, b_sh, v_sh, K, ov)
     return unpack_vector(np.asarray(y), rs.sk, K, np.asarray(data).dtype, layout=lo)
 
 
-@partial(jax.jit, static_argnames=("rs", "order", "K"))
-def _moments_pallas_sharded_jit(rs: RowSharding, b_sh, v0_sh, inv, order: int, K: int):
+@partial(jax.jit, static_argnames=("rs", "order", "K", "overlap"))
+def _moments_pallas_sharded_jit(rs: RowSharding, b_sh, v0_sh, inv, order: int,
+                                K: int, overlap: bool = False):
     sk, n = rs.sk, rs.n_shards
     Lxl = sk.shape[0] // n
 
-    kernel = plane_cheb_step_halo_ad(sk, K, Lxl)
+    step_fn = _make_local_cheb_step(sk, K, Lxl, n, overlap)
 
     def local(b_l, v_l, inv_l):
         def fused(t_cur, t_prev, step_inv):
-            hm, hp = _halo_planes(t_cur, n)
-            t_next, pp = kernel(b_l, t_cur, hm, hp, t_prev, step_inv)
+            t_next, pp = step_fn(b_l, t_cur, t_prev, step_inv)
             sums = lax.psum(jnp.sum(pp, axis=0), AXIS)  # [2K]
             return t_next, sums[:K], sums[K:]
 
@@ -201,12 +289,15 @@ def _moments_pallas_sharded_jit(rs: RowSharding, b_sh, v0_sh, inv, order: int, K
     return fn(b_sh, v0_sh, jnp.asarray(inv, jnp.float32))
 
 
-def moments_sharded_pallas(rs: RowSharding, data, v0, order: int, scale: float):
+def moments_sharded_pallas(rs: RowSharding, data, v0, order: int, scale: float,
+                           overlap: Optional[bool] = None):
     """Chebyshev moments ``μ_m[k]`` with the row-sharded Pallas kernel.
 
     ``data`` may be host complex ELL data or a pre-packed sharded operator;
     likewise ``v0``.  Moments are exact (packing is a permutation plus zero
     padding, and the kernel's fused partials are the same inner products).
+    ``overlap`` selects the interior/boundary halo-overlap split (default:
+    the BODGE_HALO_OVERLAP env knob).
     """
     if _is_packed_operator(data):
         b_sh = data
@@ -218,27 +309,29 @@ def moments_sharded_pallas(rs: RowSharding, data, v0, order: int, scale: float):
     else:
         K = int(v0.shape[-1])
         v_sh = pack_vector_sharded(rs, v0)
-    return _moments_pallas_sharded_jit(rs, b_sh, v_sh, 1.0 / scale, order, K)
+    ov = _resolve_overlap(overlap, rs.sk.shape[0] // rs.n_shards)
+    return _moments_pallas_sharded_jit(rs, b_sh, v_sh, 1.0 / scale, order, K, ov)
 
 
-@partial(jax.jit, static_argnames=("rs", "steps", "K"))
-def chebyshev_scan_sharded(rs: RowSharding, b_sh, v_sh, inv, steps: int, K: int):
+@partial(jax.jit, static_argnames=("rs", "steps", "K", "overlap"))
+def chebyshev_scan_sharded(rs: RowSharding, b_sh, v_sh, inv, steps: int, K: int,
+                           overlap: bool = False):
     """``steps`` fused Chebyshev steps over the row-sharded kernel; returns
     the final packed local-slab vector (sharded).
 
     One halo exchange + one kernel pass per step — the sustained-throughput
     workhorse (bench) and the building block for Chebyshev time evolution.
+    ``overlap=True`` uses the interior/boundary halo-overlap split.
     """
     sk, n = rs.sk, rs.n_shards
     Lxl = sk.shape[0] // n
 
-    kernel = plane_cheb_step_halo_ad(sk, K, Lxl)
+    step_fn = _make_local_cheb_step(sk, K, Lxl, n, overlap)
 
     def local(b_l, v_l, inv_l):
         def step(carry, _):
             t_prev, t_cur = carry
-            hm, hp = _halo_planes(t_cur, n)
-            t_next, _pp = kernel(b_l, t_cur, hm, hp, t_prev, inv_l)
+            t_next, _pp = step_fn(b_l, t_cur, t_prev, inv_l)
             return (t_cur, t_next), None
 
         (_, out), _ = lax.scan(step, (v_l, v_l), None, length=steps)

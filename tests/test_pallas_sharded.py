@@ -374,3 +374,90 @@ def test_pallas_sharded_dos_matches_single_device():
     got = dos_kpm_sharded_pallas(rs, system.host_data(), energies, order=64,
                                  scale=a, samples=8, key=key)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("pbc", [False, True])
+def test_halo_overlap_split_matches_monolithic(pbc):
+    """The interior/boundary halo-overlap split (round-3 verdict item 3,
+    SURVEY §7 hard part 5) must compute bit-equivalent SpMM results and
+    moments vs the monolithic halo kernel: same planes, same kernels, only
+    the launch structure differs so the ppermute can hide under interior
+    compute on a pod."""
+    mesh = row_mesh()
+    lattice, system = build_system((32, 7, 1), pbc=pbc, seed=41)
+    rs = RowSharding(system.skeleton, mesh)
+    sk = system.skeleton
+    a = kpm.spectral_bound(system.host_data(), sk, impl="stencil")
+
+    rng = np.random.default_rng(2)
+    v = (
+        rng.normal(size=(lattice.size, 4, 4))
+        + 1j * rng.normal(size=(lattice.size, 4, 4))
+    ).astype(np.complex64)
+
+    y_mono = np.asarray(spmm_sharded_pallas(rs, system.host_data(), v, overlap=False))
+    y_split = np.asarray(spmm_sharded_pallas(rs, system.host_data(), v, overlap=True))
+    np.testing.assert_array_equal(y_split, y_mono)
+
+    N = lattice.size
+    v0 = np.zeros((N, 4, 4), dtype=system.dtype)
+    v0[lattice[(16, 3, 0)], np.arange(4), np.arange(4)] = 1.0
+    mu_mono = np.asarray(
+        moments_sharded_pallas(rs, system.host_data(), v0, 32, a, overlap=False)
+    )
+    mu_split = np.asarray(
+        moments_sharded_pallas(rs, system.host_data(), v0, 32, a, overlap=True)
+    )
+    # Per-plane kernel outputs are identical (asserted bit-exact above);
+    # the cross-plane partial sum associates differently in the split, so
+    # the moments agree to float32 rounding, not bit-for-bit.
+    np.testing.assert_allclose(mu_split, mu_mono, atol=2e-5)
+
+
+def test_halo_overlap_env_knob(monkeypatch):
+    """BODGE_HALO_OVERLAP=1 turns the split on by default; thin slabs
+    (Lxl < 3) silently use the monolithic kernel."""
+    from bodge_tpu.parallel import pallas_sharded as ps
+
+    monkeypatch.setenv("BODGE_HALO_OVERLAP", "1")
+    assert ps._resolve_overlap(None, 4) is True
+    assert ps._resolve_overlap(None, 2) is False
+    monkeypatch.delenv("BODGE_HALO_OVERLAP")
+    assert ps._resolve_overlap(None, 4) is False
+    assert ps._resolve_overlap(True, 4) is True
+
+
+def test_halo_overlap_value_and_grad():
+    """Reverse-mode through the split path: gradient w.r.t. the packed
+    operator matches the monolithic path's gradient exactly (same compute
+    graph up to launch structure) and a finite difference."""
+    mesh = row_mesh()
+    lattice, system = build_system((16, 5, 1), pbc=True, seed=43)
+    rs = RowSharding(system.skeleton, mesh)
+    sk = system.skeleton
+    a = float(kpm.spectral_bound(system.host_data(), sk, impl="stencil"))
+
+    N = lattice.size
+    v0 = np.zeros((N, 4, 4), dtype=system.dtype)
+    v0[N // 2, np.arange(4), np.arange(4)] = 1.0
+    b_sh = pack_operator_sharded(rs, system.host_data())
+    v_sh = pack_vector_sharded(rs, v0)
+
+    order = 12
+    w = jnp.asarray(np.linspace(1.0, 0.2, order), jnp.float32)
+
+    def loss(b, overlap):
+        mu = moments_sharded_pallas(rs, b, v_sh, order, a, overlap=overlap)
+        return jnp.sum(w[:, None] * mu.astype(jnp.float32))
+
+    F_s, g_s = jax.jit(jax.value_and_grad(lambda b: loss(b, True)))(b_sh)
+    F_m, g_m = jax.jit(jax.value_and_grad(lambda b: loss(b, False)))(b_sh)
+    np.testing.assert_allclose(float(F_s), float(F_m), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_m), atol=2e-5)
+
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.normal(size=b_sh.shape).astype(np.float32))
+    h = 1e-3
+    fd = (float(loss(b_sh + h * u, True)) - float(loss(b_sh - h * u, True))) / (2 * h)
+    an = float(jnp.sum(jnp.asarray(g_s) * u))
+    assert np.isclose(an, fd, rtol=2e-2, atol=1e-3), (an, fd)
