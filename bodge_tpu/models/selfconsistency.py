@@ -103,6 +103,8 @@ def make_total_free_energy(
     samples: int = 32,
     key=None,
     impl: str = "stencil",
+    mesh=None,
+    overlap=None,
 ) -> Callable:
     """Return a differentiable ``F_total(Δ)`` for an on-site s-wave field.
 
@@ -111,8 +113,16 @@ def make_total_free_energy(
     interaction strength in F_total = F_BdG + Σ|Δ_i|²/V.
     """
     sk = system.skeleton
-    base = jnp.asarray(system.data)
     T = float(temperature)
+
+    if method == "kpm" and impl == "pallas_sharded":
+        # Row-sharded, complex-free branch (runs on TPU backends without
+        # complex support); must not touch the complex device path below.
+        return _make_total_free_energy_pallas_sharded(
+            system, V, T, order, samples, key, mesh=mesh, overlap=overlap
+        )
+
+    base = jnp.asarray(system.data)
 
     if method == "dense":
 
@@ -176,6 +186,94 @@ def make_total_free_energy(
     raise ValueError(f"Unknown method '{method}'")
 
 
+def _make_total_free_energy_pallas_sharded(
+    system, V: float, T: float, order: int, samples: int, key,
+    mesh=None, overlap=None,
+) -> Callable:
+    """``F_total(Δ_real)`` through the row-sharded Pallas plane kernel.
+
+    The multi-chip "training step" (round-3 verdict item 9): every SpMM of
+    the KPM free-energy trace runs in the hand-scheduled halo-exchange
+    kernel over the device mesh, and the gradient rides the kernels'
+    custom VJPs plus the transposed ppermute ring.  The traced graph is
+    COMPLEX-FREE — the pairing field is inserted directly into the packed
+    real operator (:func:`bodge_tpu.ops.pallas_spmm.plane_packed_insert_swave`)
+    — which is what lets it execute on TPU backends without complex
+    support.  Δ is a REAL field (the returned callable carries
+    ``real_input = True`` so :func:`solve_gap` skips the complex cast);
+    the global U(1) phase is a gauge choice.
+    """
+    from ..common import jσ2 as _js2
+    from ..ops import pallas_spmm as pk
+    from ..parallel.pallas_sharded import (
+        _moments_pallas_sharded_jit,
+        _resolve_overlap,
+        pack_operator_sharded,
+        pack_vector_sharded,
+    )
+    from ..parallel.sharded import AXIS, RowSharding, make_row_mesh
+
+    sk = system.skeleton
+    N = sk.n_sites
+    if pk.plane_layout(sk, samples) is None:
+        raise ValueError(
+            f"impl='pallas_sharded' declined: {pk.decline_reason(sk, samples)}"
+        )
+
+    host = np.array(system.host_data())
+    # Spectral bound with Δ headroom (host-side insertion; the bound's
+    # power iteration uses the backend's complex-free default impl).
+    probe = np.array(host)
+    j2 = np.asarray(_js2, dtype=probe.dtype)
+    probe[:, 0, 0:2, 2:4] = 2.0 * j2
+    probe[:, 0, 2:4, 0:2] = 2.0 * np.conj(j2).T
+    scale = float(spectral_bound(probe, sk))
+
+    if T == 0:
+        g = lambda E: -np.abs(E) / 2
+    else:
+        g = lambda E: -np.abs(E) / 2 - T * np.log1p(np.exp(-np.abs(E) / T))
+    coeffs = chebyshev_coefficients(lambda x: g(scale * x), order)
+    coeffs = jnp.asarray(
+        np.asarray(coeffs * _KERNELS["jackson"](order), np.float32)
+    )
+    inv = jnp.float32(1.0 / scale)
+
+    if mesh is None:
+        # Auto (not Explicit) mesh axes: the gap field Δ enters the jit as
+        # a plain replicated array, which classic GSPMD propagation
+        # reconciles with the row-sharded captured operator — Explicit
+        # axes would demand a jax.set_mesh context, which is unavailable
+        # inside an outer jax.jit(jax.grad(...)) trace.
+        from jax.sharding import AxisType
+
+        devs = jax.devices()
+        mesh = jax.make_mesh(
+            (len(devs),), (AXIS,), devices=devs, axis_types=(AxisType.Auto,)
+        )
+    rs = RowSharding(sk, mesh)
+    ov = _resolve_overlap(overlap, sk.shape[0] // rs.n_shards)
+
+    b_base = pack_operator_sharded(rs, host)
+    rng = np.random.default_rng(11 if key is None else int(np.asarray(key)[-1]))
+    z = rng.choice(np.array([-1.0, 1.0]), size=(N, BLOCK, samples))
+    z = (z / np.sqrt(N * BLOCK)).astype(np.complex64)
+    v_sh = pack_vector_sharded(rs, z)
+
+    def _F(delta):
+        # The mesh axes are Explicit, so the row sharding of b_base
+        # propagates through the insert in the type system — no
+        # with_sharding_constraint needed (or allowed).
+        b = pk.plane_packed_insert_swave(b_base, delta, sk)
+        mu = _moments_pallas_sharded_jit(rs, b, v_sh, inv, order, samples, ov)
+        F = 0.5 * jnp.dot(coeffs, jnp.sum(mu, axis=1)) / samples * (N * BLOCK)
+        return F + jnp.sum(delta.astype(jnp.float32) ** 2) / V
+
+    F_total = jax.jit(_F)
+    F_total.real_input = True
+    return F_total
+
+
 def solve_gap(
     system,
     V: float,
@@ -191,20 +289,32 @@ def solve_gap(
 
     Returns ``(Δ, F_total(Δ))``.  With ``uniform=True`` a single scalar gap
     is optimized (broadcast over sites) — the homogeneous BCS problem.
+
+    ``learning_rate`` acts on the EXTENSIVE objective: the uniform-gap
+    gradient scales like N · (per-site gradient), so on large lattices
+    scale the rate like 1/N (e.g. ``learning_rate=15/N``) or the momentum
+    loop diverges.
     """
     F_total = make_total_free_energy(system, V, temperature, method=method, **kwargs)
     N = system.skeleton.n_sites
-    cdtype = system.data.dtype
-    rdtype = jnp.real(jnp.zeros((), cdtype)).dtype
+    cdtype = system.dtype
+    # Host-side dtype math: the complex dtype must not touch the device
+    # here (the pallas_sharded path exists precisely for backends without
+    # complex support).
+    rdtype = np.real(np.zeros((), cdtype)).dtype
+    # Complex-free F_totals (impl="pallas_sharded") take the real field
+    # directly; the others expect the system's complex dtype.
+    cast = (lambda x: x) if getattr(F_total, "real_input", False) \
+        else (lambda x: x.astype(cdtype))
 
     # Optimize a REAL gap field (the global U(1) phase is a gauge choice;
     # complex / phase-textured problems should drive F_total directly).
     if uniform:
         x0 = jnp.asarray(np.real(np.atleast_1d(delta0))[:1], dtype=rdtype)
-        expand = lambda x: jnp.broadcast_to(x, (N,)).astype(cdtype)
+        expand = lambda x: cast(jnp.broadcast_to(x, (N,)))
     else:
         x0 = jnp.asarray(np.broadcast_to(np.real(delta0), (N,)), dtype=rdtype)
-        expand = lambda x: x.astype(cdtype)
+        expand = lambda x: cast(x)
 
     loss = lambda x: F_total(expand(x))
     grad = jax.jit(jax.grad(loss))

@@ -518,6 +518,41 @@ def _pack_operator_planes(data, sk: Skeleton, lo: Layout, dtype=np.float32):
     return out.reshape(Lx, 2 * S * BLOCK * BLOCK, P)
 
 
+def plane_packed_insert_swave(b_packed, delta_real, sk: Skeleton):
+    """Insert a REAL on-site s-wave field Δ_i·jσ2 directly into a
+    plane-packed operator ``[Lx, 2·S·16, P]`` — complex-free and traceable.
+
+    The packed-space equivalent of
+    :func:`bodge_tpu.models.selfconsistency.data_with_onsite_swave` for a
+    real gap field: with jσ2 = [[0,1],[-1,0]] the pairing block Δ·jσ2 and
+    its Hermitian partner are purely real, so the insertion touches only
+    the re-plane rows of the diagonal slot (slot 0).  This is what lets
+    the self-consistency loop run end-to-end on backends without complex
+    support (the axon TPU tunnel): the traced graph never materializes a
+    complex array.  All eight pairing positions are written (zeros
+    included), matching the wholesale sub-block ``.set`` of the complex
+    path.  Differentiable in ``delta_real``.
+    """
+    Lx, Ly, Lz = sk.shape
+    M = Ly * Lz
+    S = sk.n_slots
+    P = b_packed.shape[-1]
+    d = jnp.reshape(delta_real.astype(jnp.float32), (Lx, M))
+    if P > M:
+        d = jnp.pad(d, ((0, 0), (0, P - M)))
+    z = jnp.zeros_like(d)
+    b = b_packed.reshape(Lx, 2, S, BLOCK, BLOCK, P)
+    # blk = Δ·jσ2 at rows 0:2 × cols 2:4; blkH at rows 2:4 × cols 0:2.
+    for reim, a, cb, val in (
+        (0, 0, 2, z), (0, 0, 3, d), (0, 1, 2, -d), (0, 1, 3, z),
+        (0, 2, 0, z), (0, 2, 1, -d), (0, 3, 0, d), (0, 3, 1, z),
+        (1, 0, 2, z), (1, 0, 3, z), (1, 1, 2, z), (1, 1, 3, z),
+        (1, 2, 0, z), (1, 2, 1, z), (1, 3, 0, z), (1, 3, 1, z),
+    ):
+        b = b.at[:, reim, 0, a, cb].set(val.astype(b.dtype))
+    return b.reshape(Lx, 2 * S * BLOCK * BLOCK, P)
+
+
 def _pack_vector_planes(v, sk: Skeleton, lo: Layout):
     """Operand ``[N, 4, K]`` complex → packed ``[Lx, 4·2·K, P]`` float32.
 

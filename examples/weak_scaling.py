@@ -31,10 +31,16 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--local-lx", type=int, default=16, help="x-planes per device")
-    ap.add_argument("--width", type=int, default=64)
-    ap.add_argument("--order", type=int, default=64)
-    ap.add_argument("--samples", type=int, default=8)
+    # Defaults give 65 536 sites per device: large enough that per-run
+    # timing noise is a few percent of the runtime, so the efficiency
+    # column carries information (round-3 verdict item 4 — the previous
+    # 256-site, ~12 ms single-shot artifact fluctuated ±40% around 1.0).
+    ap.add_argument("--local-lx", type=int, default=256, help="x-planes per device")
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--order", type=int, default=32)
+    ap.add_argument("--samples", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timing repeats; min is kept (the repo's estimator)")
     ap.add_argument("--temperature", type=float, default=0.1)
     ap.add_argument(
         "--pallas",
@@ -114,17 +120,28 @@ def main():
                     order=args.order, samples=args.samples,
                 )
 
-        F = run()  # compile
-        t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
+        F = run()  # compile + warmup
+        # Min over repeats: for deterministic constant work the minimum is
+        # the consistent estimator (it approaches the true time from
+        # above); a mean would fold scheduler noise into the curve.
+        dt = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
             F = run()
-        dt = (time.perf_counter() - t0) / reps
-        results.append({"devices": p, "sites": system.lattice.size, "time_s": dt, "F": F})
+            dt = min(dt, time.perf_counter() - t0)
+        results.append({"devices": p, "sites": system.lattice.size, "time_s": dt,
+                        "F": F, "timing": f"min of {args.reps} after warmup"})
         print(f"P={p:3d}  sites={system.lattice.size:9d}  t={dt:8.4f}s  F={F:.2f}")
 
     t1 = results[0]["time_s"]
     shared_host = jax.devices()[0].platform == "cpu"
+    # Marginal reference: the smallest P that engages the real collective
+    # path (P=1's ppermute is an identity).  On shared-host virtual
+    # devices the P=1→2 jump folds in the one-time cost of engaging the
+    # (interpret-mode, for Pallas) halo machinery; the marginal column
+    # isolates how the overhead GROWS with P, which is the quantity that
+    # predicts pod behavior.
+    t2 = next((r["time_s"] for r in results if r["devices"] == 2), None)
     for r in results:
         if shared_host:
             # Virtual devices share one host's cores: constant-wall-clock
@@ -133,14 +150,23 @@ def main():
             # weak_scaling_efficiency at all (advisor finding: the same key
             # must not mean different things across runs). No clamping —
             # >1 just means XLA parallelized the P-fold workload well.
+            # For stable numbers pin the run to ONE core (taskset -c 0):
+            # ideal is then exactly t(P) = P·t(1) and deviations measure
+            # sharding overhead, not core contention.
             r["normalization"] = "aggregate-throughput (shared-host virtual devices)"
             r["shared_host_throughput_efficiency"] = t1 * r["devices"] / r["time_s"]
             eff = r["shared_host_throughput_efficiency"]
+            if t2 is not None and r["devices"] >= 2:
+                r["marginal_efficiency_vs_p2"] = (
+                    t2 * r["devices"] / 2 / r["time_s"]
+                )
         else:
             r["normalization"] = "constant wall-clock (dedicated devices)"
             r["weak_scaling_efficiency"] = t1 / r["time_s"]
             eff = r["weak_scaling_efficiency"]
-        print(f"P={r['devices']:3d}  efficiency={100*eff:.1f}%")
+        print(f"P={r['devices']:3d}  efficiency={100*eff:.1f}%"
+              + (f"  (marginal vs P=2: {100*r['marginal_efficiency_vs_p2']:.1f}%)"
+                 if "marginal_efficiency_vs_p2" in r else ""))
 
     out_name = "weak_scaling_pallas.json" if args.pallas else "weak_scaling.json"
     with open(out_name, "w") as f:
