@@ -16,6 +16,9 @@ test-fast:
 bench:
 	$(PYTHON) bench.py
 
+docs:
+	$(PYTHON) scripts/build_docs.py
+
 format:
 	$(PYTHON) -m black bodge_tpu tests bench.py __graft_entry__.py 2>/dev/null || true
 
