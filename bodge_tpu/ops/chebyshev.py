@@ -75,6 +75,10 @@ def spectral_bound(data, sk: Skeleton, iters: int = 60, key=None, impl: str = No
 
         dp = data if _is_planar(data) else pl_ops.to_planar(_host(data))
         return pl_ops.spectral_bound_planar(dp, sk, iters=iters)
+    if impl == "pallas_gather":
+        # The gather kernel packs per call; the one-time bound estimate is
+        # cheaper (and identical) on the XLA gather path.
+        impl = "gather"
     if key is None:
         key = jax.random.PRNGKey(0)
     N = sk.n_sites
@@ -202,6 +206,7 @@ def _upgrade_to_pallas(impl: str, data, v0_or_K, sk: Skeleton) -> str:
     if impl != "planar" or _is_planar(data):
         return impl
     K = v0_or_K if isinstance(v0_or_K, int) else int(np.shape(v0_or_K)[-1])
+    from .pallas_gather import supported_gather
     from .pallas_spmm import decline_reason, supported
 
     forced = os.environ.get("BODGE_PALLAS_UPGRADE") == "1"
@@ -209,6 +214,12 @@ def _upgrade_to_pallas(impl: str, data, v0_or_K, sk: Skeleton) -> str:
         if forced or jax.default_backend() == "tpu":
             if supported(sk, K):
                 return "pallas"
+            if not sk.stencil and (
+                supported_gather(sk, K) or supported_gather(sk, min(K, 4))
+            ):
+                # Generic/FrozenLattice skeletons: the RCM-banded gather
+                # kernel (one-hot MXU gather) instead of the planar cliff.
+                return "pallas_gather"
             # TPU users silently landing here pay a measured ~175×
             # per-step cliff vs the Pallas kernel (bench r03: 0.34 vs
             # 60+ Gnnz/s on the identical problem) — never downgrade
@@ -331,6 +342,49 @@ def moments(
                     )
                 v0p = pack_vector(cols, sk, layout=lo)
                 mu = moments_pallas_fused(b_packed, v0p, sk, inv, order, kc)
+                outs.append(mu[:, : kc - pad] if pad else mu)
+            return jnp.concatenate(outs, axis=1)
+        impl = "stencil"
+    if impl == "pallas_gather":
+        from .pallas_gather import (
+            moments_gather_packed,
+            pack_gather_offsets,
+            pack_gather_operator,
+            pack_gather_vector,
+            plan_gather,
+        )
+
+        K = v0.shape[-1]
+        inv32 = jnp.float32(1.0 / scale)
+        gl = plan_gather(sk, K)
+        if gl is not None:
+            b = pack_gather_operator(
+                _host(data), sk, gl, operator_dtype=_operator_storage(operator_dtype)
+            )
+            off = pack_gather_offsets(sk, gl)
+            v0p = pack_gather_vector(_host(v0), sk, gl)
+            return moments_gather_packed(b, off, v0p, sk, gl, inv32, order, K)
+        # Probe columns are independent — chunk wide batches like the
+        # stencil fast path does, over one packed operator.
+        kc = next((k for k in (32, 16, 8, 4) if k < K and plan_gather(sk, k)), None)
+        if kc is not None:
+            gl = plan_gather(sk, kc)
+            b = pack_gather_operator(
+                _host(data), sk, gl, operator_dtype=_operator_storage(operator_dtype)
+            )
+            off = pack_gather_offsets(sk, gl)
+            v0h = _host(v0)
+            outs = []
+            for i0 in range(0, K, kc):
+                cols = v0h[..., i0 : i0 + kc]
+                pad = kc - cols.shape[-1]
+                if pad:
+                    cols = np.concatenate(
+                        [cols, np.zeros(cols.shape[:-1] + (pad,), dtype=cols.dtype)],
+                        axis=-1,
+                    )
+                v0p = pack_gather_vector(cols, sk, gl)
+                mu = moments_gather_packed(b, off, v0p, sk, gl, inv32, order, kc)
                 outs.append(mu[:, : kc - pad] if pad else mu)
             return jnp.concatenate(outs, axis=1)
         impl = "stencil"

@@ -82,6 +82,10 @@ def spmm(data, sk: Skeleton, v, *, impl: str = "stencil"):
         from .pallas_spmm import spmm_pallas
 
         return spmm_pallas(data, sk, v)
+    if impl == "pallas_gather":
+        from .pallas_gather import spmm_gather_pallas
+
+        return spmm_gather_pallas(data, sk, v)
     raise ValueError(f"Unknown SpMM implementation '{impl}'")
 
 
