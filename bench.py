@@ -1058,8 +1058,10 @@ def parent_main():
     plane_tries = {"spmm_plane": 0, "spmm_plane_bf16": 0}
 
     def plane_extra_pass(max_passes=5):
-        # Both 1M-site sections are weather-bimodal; re-measure whichever
-        # is furthest below target first.
+        # Both 1M-site sections are weather-bimodal; re-measure the one
+        # with the FEWEST passes first (always-lowest-fraction starved the
+        # f32 section while the bf16 section sat in a throttled tier —
+        # observed in the round-4 validation run), fraction as tiebreak.
         cands = []
         for sec in plane_tries:
             sp = results.get(sec)
@@ -1070,10 +1072,13 @@ def parent_main():
                 and sp.get("measurement_passes", 1) < max_passes
                 and plane_tries[sec] < max_passes + 2
             ):
-                cands.append((sp.get("fraction_of_roof", 0.0), sec, sp))
+                cands.append(
+                    (sp.get("measurement_passes", 1),
+                     sp.get("fraction_of_roof", 0.0), sec, sp)
+                )
         if not cands or time.monotonic() > deadline - 150:
             return
-        _, sec, sp = min(cands)
+        _, _, sec, sp = min(cands)
         plane_tries[sec] += 1
         log(f"[bench] {sec} below target; extra min-taken pass in a new window")
         again = run_section(sec, attempts=1, deadline=deadline)

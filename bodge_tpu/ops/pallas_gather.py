@@ -30,8 +30,11 @@ computed in packed space equal unpacked ones exactly — the KPM moment
 recursion runs entirely in the packed layout
 (:func:`moments_gather_packed`), like the stencil fast path.
 
-Not yet differentiable (no custom VJP): generic-lattice KPM observables
-are forward-only in v1; gradients fall back to the XLA paths.
+Differentiable: :func:`spmm_gather_packed_ad` wraps the kernel in a
+``jax.custom_vjp`` whose backward is the XLA-derived VJP of a jnp
+restatement of the same packed arithmetic (:func:`_gather_spmm_ref`) —
+the pattern shared with the stencil kernels — so ``jax.grad`` flows
+through generic-lattice KPM sweeps too.
 
 Reference analog: none (the reference's generic path is scipy BSR matvec
 on the host, ``bodge/hamiltonian.py:59-64``).
@@ -288,6 +291,62 @@ def spmm_gather_pallas(data, sk: Skeleton, v, operator_dtype=None):
     return unpack_gather_vector(y, sk, gl, K, np.asarray(data).dtype)
 
 
+def _gather_spmm_ref(sk: Skeleton, gl: GatherLayout, K: int, b, off, v):
+    """jnp restatement of :func:`spmm_gather_packed` (same packed
+    arithmetic, XLA-differentiable): windows by shifted slices, the
+    one-hot gather as an einsum, the same half-swap FMA accumulation.
+    Used only as the VJP reference — the forward IS the kernel."""
+    S = sk.n_slots
+    R2 = 2 * K
+    nt = gl.n_tiles
+    W = gl.W
+    WT = W * TILE
+    b32 = b.astype(jnp.float32)
+
+    vpad = jnp.pad(v, ((gl.h, gl.h), (0, 0), (0, 0)))
+    wins = jnp.concatenate([vpad[w : w + nt] for w in range(W)], axis=-1)  # [nt, R, W·T]
+    iota = jnp.arange(WT, dtype=off.dtype)
+    sel = (iota[None, None, :, None] == off[:, :, None, :]).astype(jnp.float32)
+    u = jnp.einsum("nrw,nswt->nsrt", wins, sel)  # [nt, S, R, T]
+
+    b6 = b32.reshape(nt, 2, S, BLOCK, BLOCK, TILE)
+    accs = [jnp.zeros((nt, R2, TILE), dtype=jnp.float32) for _ in range(BLOCK)]
+    for s in range(S):
+        for bb in range(BLOCK):
+            ub = u[:, s, bb * R2 : (bb + 1) * R2, :]
+            usw = jnp.concatenate([-ub[:, K:], ub[:, :K]], axis=1)
+            for a in range(BLOCK):
+                wr = b6[:, 0, s, a, bb, :][:, None, :]
+                wi = b6[:, 1, s, a, bb, :][:, None, :]
+                accs[a] = accs[a] + wr * ub + wi * usw
+    return jnp.concatenate(accs, axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def spmm_gather_packed_ad(sk: Skeleton, gl: GatherLayout, K: int):
+    """Differentiable packed gather SpMM: Pallas forward, jnp-VJP backward
+    (rematerialization — the standard TPU trade; the one-hot selection
+    tensor only materializes in the backward)."""
+
+    @jax.custom_vjp
+    def apply(b, off, v):
+        return spmm_gather_packed(b, off, v, sk, gl, K)
+
+    def fwd(b, off, v):
+        return spmm_gather_packed(b, off, v, sk, gl, K), (b, off, v)
+
+    def bwd(res, ct):
+        b, off, v = res
+        _, vjp = jax.vjp(
+            lambda bb, vv: _gather_spmm_ref(sk, gl, K, bb, off, vv), b, v
+        )
+        db, dv = vjp(ct)
+        return db, None, dv
+
+    apply.defvjp(fwd, bwd)
+    return apply
+
+
 def _gather_inner(a, b, K: int):
     """Re⟨a, b⟩ per probe column in the packed gather layout.
 
@@ -305,11 +364,14 @@ def _gather_inner(a, b, K: int):
 def moments_gather_packed(
     b_packed, off, v0_packed, sk: Skeleton, gl: GatherLayout, inv_scale, order: int, K: int
 ):
-    """KPM moment recursion entirely in the packed gather layout."""
+    """KPM moment recursion entirely in the packed gather layout
+    (differentiable: each SpMM carries the kernel's custom VJP)."""
     from .chebyshev import _doubled_moment_scan
 
+    apply = spmm_gather_packed_ad(sk, gl, K)
+
     def H(v):
-        return spmm_gather_packed(b_packed, off, v, sk, gl, K) * inv_scale
+        return apply(b_packed, off, v) * inv_scale
 
     def inner(x, y):
         return _gather_inner(x, y, K)

@@ -182,3 +182,56 @@ def test_gather_ldos_via_facade():
         impl="gather",
     )
     np.testing.assert_allclose(ρ_g, ρ_x, atol=2e-4, rtol=2e-4)
+
+
+def test_gather_ref_matches_kernel():
+    """The jnp restatement (the VJP reference) reproduces the kernel."""
+    sk, data = build_generic_2d(L=10, W=40)  # multi-tile window (W=3)
+    gl = pg.plan_gather(sk, 2)
+    N = sk.n_sites
+    rng = np.random.default_rng(17)
+    v = (
+        rng.normal(size=(N, 4, 2)) + 1j * rng.normal(size=(N, 4, 2))
+    ).astype(np.complex64)
+    b = pg.pack_gather_operator(data, sk, gl)
+    off = pg.pack_gather_offsets(sk, gl)
+    vp = pg.pack_gather_vector(v, sk, gl)
+    y_kernel = np.asarray(pg.spmm_gather_packed(b, off, vp, sk, gl, 2))
+    y_ref = np.asarray(pg._gather_spmm_ref(sk, gl, 2, b, off, vp))
+    np.testing.assert_allclose(y_kernel, y_ref, atol=2e-5)
+
+
+def test_gather_value_and_grad():
+    """Reverse mode through the gather moment sweep: gradient w.r.t. the
+    packed operator AND the probe vector vs central finite differences."""
+    lattice, system = build_ring(40)
+    sk = system.skeleton
+    N = sk.n_sites
+    a = float(kpm.spectral_bound(system.host_data(), sk, impl="gather"))
+    gl = pg.plan_gather(sk, 4)
+
+    b = pg.pack_gather_operator(system.host_data(), sk, gl)
+    off = pg.pack_gather_offsets(sk, gl)
+    v0 = np.zeros((N, 4, 4), dtype=np.complex64)
+    v0[7] = np.eye(4)
+    vp = pg.pack_gather_vector(v0, sk, gl)
+
+    order = 10
+    w = jnp.asarray(np.linspace(1.0, 0.3, order), jnp.float32)
+
+    def loss(bb, vv):
+        mu = pg.moments_gather_packed(bb, off, vv, sk, gl, jnp.float32(1 / a), order, 4)
+        return jnp.sum(w[:, None] * mu)
+
+    F, (gb, gv) = jax.value_and_grad(loss, argnums=(0, 1))(b, vp)
+    assert np.isfinite(float(F))
+    for g, x, which in ((gb, b, 0), (gv, vp, 1)):
+        g = np.asarray(g)
+        assert np.isfinite(g).all() and np.abs(g).max() > 0
+        rng = np.random.default_rng(23 + which)
+        u = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+        h = 1e-3
+        args = lambda xx: (xx, vp) if which == 0 else (b, xx)
+        fd = (float(loss(*args(x + h * u))) - float(loss(*args(x - h * u)))) / (2 * h)
+        an = float(jnp.sum(jnp.asarray(g) * u))
+        assert np.isclose(an, fd, rtol=2e-2, atol=1e-3), (which, an, fd)
