@@ -76,9 +76,15 @@ def spectral_bound(data, sk: Skeleton, iters: int = 60, key=None, impl: str = No
         dp = data if _is_planar(data) else pl_ops.to_planar(_host(data))
         return pl_ops.spectral_bound_planar(dp, sk, iters=iters)
     if impl == "pallas_gather":
-        # The gather kernel packs per call; the one-time bound estimate is
-        # cheaper (and identical) on the XLA gather path.
-        impl = "gather"
+        # The gather kernel packs per call; route the one-time bound
+        # estimate through the backend's default (planar on TPU — the
+        # only complex-free XLA form there; stencil/gather on CPU).
+        impl = default_impl()
+        if impl == "planar":
+            from . import planar as pl_ops
+
+            dp = data if _is_planar(data) else pl_ops.to_planar(_host(data))
+            return pl_ops.spectral_bound_planar(dp, sk, iters=iters)
     if key is None:
         key = jax.random.PRNGKey(0)
     N = sk.n_sites
