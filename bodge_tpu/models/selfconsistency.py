@@ -207,6 +207,7 @@ def _make_total_free_energy_pallas_sharded(
     from ..ops import pallas_spmm as pk
     from ..parallel.pallas_sharded import (
         _moments_pallas_sharded_jit,
+        _remat_chunk_for,
         _resolve_overlap,
         pack_operator_sharded,
         pack_vector_sharded,
@@ -260,12 +261,21 @@ def _make_total_free_energy_pallas_sharded(
     z = (z / np.sqrt(N * BLOCK)).astype(np.complex64)
     v_sh = pack_vector_sharded(rs, z)
 
+    # √steps reverse-mode checkpointing: the gap gradient differentiates
+    # the whole moment scan, whose plain backward stores O(order) vector
+    # copies — 34 GB at 512², order 512.  The two-level schedule keeps it
+    # O(√order), which is what lets the training step run at 512²+ on one
+    # chip (bit-identical results; the recompute replays the same graph).
+    remat_chunk = _remat_chunk_for(order, "auto")
+
     def _F(delta):
         # The mesh axes are Explicit, so the row sharding of b_base
         # propagates through the insert in the type system — no
         # with_sharding_constraint needed (or allowed).
         b = pk.plane_packed_insert_swave(b_base, delta, sk)
-        mu = _moments_pallas_sharded_jit(rs, b, v_sh, inv, order, samples, ov)
+        mu = _moments_pallas_sharded_jit(
+            rs, b, v_sh, inv, order, samples, ov, remat_chunk
+        )
         F = 0.5 * jnp.dot(coeffs, jnp.sum(mu, axis=1)) / samples * (N * BLOCK)
         return F + jnp.sum(delta.astype(jnp.float32) ** 2) / V
 

@@ -250,9 +250,28 @@ def spmm_sharded_pallas(rs: RowSharding, data, v, overlap: Optional[bool] = None
     return unpack_vector(np.asarray(y), rs.sk, K, np.asarray(data).dtype, layout=lo)
 
 
-@partial(jax.jit, static_argnames=("rs", "order", "K", "overlap"))
+def _remat_chunk_for(order: int, remat) -> int:
+    """Resolve the two-level checkpointing chunk for a moment scan.
+
+    ``remat``: None/"auto" → √steps chunking for order ≥ 64 (the classic
+    O(√n)-memory schedule: the backward stores only per-chunk boundary
+    carries and recomputes inside each chunk — rematerialization trades
+    FLOPs for HBM residency, the right trade on TPU); an int forces the
+    chunk; 0/False disables.  Values are bit-identical either way (the
+    recompute replays the same graph).
+    """
+    steps = max(0, (order - 1) // 2)
+    if remat in (0, False):
+        return 0
+    if remat in (None, "auto"):
+        return int(np.sqrt(steps)) if steps >= 32 else 0
+    return int(remat)
+
+
+@partial(jax.jit, static_argnames=("rs", "order", "K", "overlap", "remat_chunk"))
 def _moments_pallas_sharded_jit(rs: RowSharding, b_sh, v0_sh, inv, order: int,
-                                K: int, overlap: bool = False):
+                                K: int, overlap: bool = False,
+                                remat_chunk: int = 0):
     sk, n = rs.sk, rs.n_shards
     Lxl = sk.shape[0] // n
 
@@ -278,7 +297,23 @@ def _moments_pallas_sharded_jit(rs: RowSharding, b_sh, v0_sh, inv, order: int,
             t_next, cc, nc = fused(t_cur, t_prev, inv_l)
             return (t_cur, t_next), (2.0 * cc - mu0, 2.0 * nc - mu1)
 
-        (_, _), (alphas, betas) = lax.scan(body, (t0, t1), None, length=steps)
+        if remat_chunk and steps > remat_chunk:
+            # Two-level scan with per-chunk checkpointing: reverse-mode
+            # memory drops from O(steps) vector copies (34 GB at 512²,
+            # order 512 — an OOM) to O(steps/chunk + chunk).
+            outer = -(-steps // remat_chunk)
+
+            @jax.checkpoint
+            def chunk_body(carry, _):
+                return lax.scan(body, carry, None, length=remat_chunk)
+
+            (_, _), (alphas, betas) = lax.scan(
+                chunk_body, (t0, t1), None, length=outer
+            )
+            alphas = alphas.reshape(outer * remat_chunk, K)[:steps]
+            betas = betas.reshape(outer * remat_chunk, K)[:steps]
+        else:
+            (_, _), (alphas, betas) = lax.scan(body, (t0, t1), None, length=steps)
         rest = jnp.stack([alphas, betas], axis=1).reshape(2 * steps, K)
         return jnp.concatenate([mu0[None], mu1[None], rest], axis=0)[:order]
 
@@ -290,14 +325,16 @@ def _moments_pallas_sharded_jit(rs: RowSharding, b_sh, v0_sh, inv, order: int,
 
 
 def moments_sharded_pallas(rs: RowSharding, data, v0, order: int, scale: float,
-                           overlap: Optional[bool] = None):
+                           overlap: Optional[bool] = None, remat="auto"):
     """Chebyshev moments ``μ_m[k]`` with the row-sharded Pallas kernel.
 
     ``data`` may be host complex ELL data or a pre-packed sharded operator;
     likewise ``v0``.  Moments are exact (packing is a permutation plus zero
     padding, and the kernel's fused partials are the same inner products).
     ``overlap`` selects the interior/boundary halo-overlap split (default:
-    the BODGE_HALO_OVERLAP env knob).
+    the BODGE_HALO_OVERLAP env knob); ``remat`` the reverse-mode
+    checkpointing chunk ("auto" = √steps at order ≥ 64 — keeps gradient
+    memory O(√order) instead of O(order) vector copies; bit-identical).
     """
     if _is_packed_operator(data):
         b_sh = data
@@ -310,7 +347,9 @@ def moments_sharded_pallas(rs: RowSharding, data, v0, order: int, scale: float,
         K = int(v0.shape[-1])
         v_sh = pack_vector_sharded(rs, v0)
     ov = _resolve_overlap(overlap, rs.sk.shape[0] // rs.n_shards)
-    return _moments_pallas_sharded_jit(rs, b_sh, v_sh, 1.0 / scale, order, K, ov)
+    return _moments_pallas_sharded_jit(
+        rs, b_sh, v_sh, 1.0 / scale, order, K, ov, _remat_chunk_for(order, remat)
+    )
 
 
 @partial(jax.jit, static_argnames=("rs", "steps", "K", "overlap"))

@@ -461,3 +461,39 @@ def test_halo_overlap_value_and_grad():
     fd = (float(loss(b_sh + h * u, True)) - float(loss(b_sh - h * u, True))) / (2 * h)
     an = float(jnp.sum(jnp.asarray(g_s) * u))
     assert np.isclose(an, fd, rtol=2e-2, atol=1e-3), (an, fd)
+
+
+def test_remat_moments_and_grad_match_unchunked():
+    """√steps checkpointing of the sharded moment scan is bit-compatible:
+    same moments, same gradients as the plain scan (the recompute replays
+    the identical graph), with reverse-mode memory O(√order)."""
+    mesh = row_mesh()
+    lattice, system = build_system((16, 5, 1), pbc=True, seed=51)
+    rs = RowSharding(system.skeleton, mesh)
+    sk = system.skeleton
+    a = float(kpm.spectral_bound(system.host_data(), sk, impl="stencil"))
+
+    N = lattice.size
+    v0 = np.zeros((N, 4, 4), dtype=system.dtype)
+    v0[N // 2, np.arange(4), np.arange(4)] = 1.0
+    b_sh = pack_operator_sharded(rs, system.host_data())
+    v_sh = pack_vector_sharded(rs, v0)
+
+    order = 65  # steps = 32 ≥ the auto-remat threshold
+    mu_plain = np.asarray(
+        moments_sharded_pallas(rs, b_sh, v_sh, order, a, remat=False)
+    )
+    mu_remat = np.asarray(
+        moments_sharded_pallas(rs, b_sh, v_sh, order, a, remat="auto")
+    )
+    np.testing.assert_array_equal(mu_remat, mu_plain)
+
+    w = jnp.asarray(np.linspace(1.0, 0.2, order), jnp.float32)
+
+    def loss(b, remat):
+        mu = moments_sharded_pallas(rs, b, v_sh, order, a, remat=remat)
+        return jnp.sum(w[:, None] * mu.astype(jnp.float32))
+
+    g_plain = np.asarray(jax.jit(jax.grad(lambda b: loss(b, False)))(b_sh))
+    g_remat = np.asarray(jax.jit(jax.grad(lambda b: loss(b, "auto")))(b_sh))
+    np.testing.assert_allclose(g_remat, g_plain, atol=1e-6)
