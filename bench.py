@@ -692,6 +692,91 @@ def bench_spmm_sharded(L=200, order=256, K=4):
     }
 
 
+def bench_spmm_gather(L=64, W=64, order=64, K=4):
+    """Gather kernel for GENERIC (non-stencil / FrozenLattice) skeletons:
+    the RCM-banded one-hot-MXU kernel vs the XLA planar fallback it
+    replaces, on the same generic skeleton (round-4 addition; no stencil
+    structure is assumed anywhere in this path)."""
+    from bodge_tpu.ops import pallas_gather as pg
+    from bodge_tpu.ops.blocksparse import skeleton_from_pairs, slot_lookup
+
+    lattice, system = build_swave(L, W)
+    sks = system.skeleton
+    m = sks.valid
+    r = np.repeat(np.arange(sks.n_sites), m.sum(axis=1))
+    c = sks.cols[m]
+    sk = skeleton_from_pairs(sks.n_sites, r, c)  # generic route
+    data = np.zeros((sk.n_sites, sk.n_slots, 4, 4), dtype=system.dtype)
+    data[r, slot_lookup(sk, r, c)] = system.host_data()[m]
+
+    gl = pg.plan_gather(sk, K)
+    b = pg.pack_gather_operator(data, sk, gl)
+    off = pg.pack_gather_offsets(sk, gl)
+    N = sk.n_sites
+    v0 = np.zeros((N, BLOCK, K), dtype=system.dtype)
+    v0[N // 2, np.arange(K) % BLOCK, np.arange(K)] = 1.0
+    vp = pg.pack_gather_vector(v0, sk, gl)
+    inv = jnp.float32(0.15)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_gather(b, off, v, n):
+        def body(carry, _):
+            tp, tc = carry
+            tn = 2.0 * (pg.spmm_gather_packed(b, off, tc, sk, gl, K) * inv) - tp
+            return (tc, tn), None
+
+        (_, out), _ = jax.lax.scan(body, (v, v), None, length=n)
+        return out.ravel()[0]
+
+    def mk(n):
+        return lambda: float(scan_gather(b, off, vp, n))
+
+    log(f"[spmm:gather] compiling generic-skeleton scan ({L}×{W}, bwb={gl.bwb})...")
+    # Wide span (order vs 16·order): the per-step time at this size is
+    # ~µs-scale, below the tunnel's dispatch jitter at a 3·order span.
+    t_g = max(
+        min(time_iterated(mk, order, 16 * order, repeats=3) for _ in range(3)),
+        1e-9,
+    )
+
+    # The XLA planar fallback on the identical generic skeleton (short
+    # order — it is ~100× slower per step by construction).
+    from bodge_tpu.ops.planar import spmm_planar, to_planar
+
+    dp, vpl = to_planar(data), to_planar(v0)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_planar(dp, v, n):
+        def body(carry, _):
+            tp, tc = carry
+            tn = 2.0 * (spmm_planar(dp, sk, tc) * inv) - tp
+            return (tc, tn), None
+
+        (_, out), _ = jax.lax.scan(body, (v, v), None, length=n)
+        return out[0, 0, 0, 0]
+
+    def mkp(n):
+        return lambda: float(scan_planar(dp, vpl, n))
+
+    t_p = min(time_iterated(mkp, 16, 64, repeats=3) for _ in range(2))
+    nnz = sk.nnz_blocks * BLOCK * BLOCK
+    log(f"[spmm:gather] {t_g*1e6:.1f} µs/step → {nnz/t_g/1e9:.2f} Gnnz/s "
+        f"(planar fallback {t_p*1e6:.1f} µs → {t_p/t_g:.0f}× speedup)")
+    return {
+        "impl": "pallas_gather",
+        "lattice": [L, W, 1],
+        "skeleton": "generic (skeleton_from_pairs)",
+        "rcm_block_bandwidth": gl.bwb,
+        "window_tiles": gl.W,
+        "order": order,
+        "K": K,
+        "time_per_spmm_s": t_g,
+        "nnz_per_s": nnz / t_g,
+        "planar_fallback_s": t_p,
+        "speedup_vs_planar": t_p / t_g,
+    }
+
+
 SECTIONS = {
     "device_info": lambda: {
         "device": str(jax.devices()[0]),
@@ -721,6 +806,7 @@ SECTIONS = {
     "diag_kpm_tpu": bench_diag_kpm_tpu,
     "kpm_ldos": bench_kpm_ldos,
     "consistency": bench_consistency,
+    "spmm_gather": bench_spmm_gather,
     # The portable XLA stencil path, known to sit far below the kernel
     # (kept for the record; short order — it is ~100× slower per step).
     "spmm_planar": lambda: bench_spmm_chebyshev(order=48, impl="auto"),
@@ -743,6 +829,7 @@ SECTION_TIMEOUT_S = {
     "diag_kpm_tpu": 600,
     "kpm_ldos": 900,
     "consistency": 600,
+    "spmm_gather": 600,
     "spmm_planar": 900,
 }
 
@@ -1028,6 +1115,7 @@ def parent_main():
         "spmm_plane",
         "spmm_plane_bf16",
         "consistency",
+        "spmm_gather",
         "diag_kpm_tpu",
         "kpm_ldos",
         "assembly",

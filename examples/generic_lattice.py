@@ -5,7 +5,7 @@ Any :class:`bodge_tpu.Lattice` subclass — not just ``CubicLattice`` —
 gets a hand-scheduled kernel: the RCM-banded gather kernel
 (`bodge_tpu/ops/pallas_gather.py`) relabels sites by reverse
 Cuthill–McKee and turns neighbor access into a one-hot MXU matmul,
-measured ~250× faster than the XLA fallback it replaces.  Auto-selected
+measured ~20–30× faster than the XLA fallback it replaces.  Auto-selected
 on TPU; force it anywhere with ``impl="pallas_gather"``.
 
 Here: a Möbius-style ring with a twist defect — a graph no cubic stencil
