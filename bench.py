@@ -215,9 +215,15 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil", op_dtype="f32"):
         # kernels min-over-more-samples is the consistent estimator — it
         # can only approach the true time from above — so spread extra
         # estimates over time for the hand-scheduled kernels whose
-        # expected fraction is far from the reading.
+        # expected fraction is far from the reading.  Samples implying
+        # >105% of roof are relay-jitter corruption (a slope cannot beat
+        # the hardware) and must NOT enter the min — one such sample
+        # previously laundered a 272%-of-roof figure past the
+        # unreliability gate (round-4 window with pathological jitter).
         for _ in range(3):
-            t_step = min(t_step, time_iterated(make_run, order, 4 * order, repeats=3))
+            t_new = time_iterated(make_run, order, 4 * order, repeats=3)
+            if step_bytes / t_new / hbm_bw <= 1.05:
+                t_step = min(t_step, t_new)
         frac = step_bytes / t_step / hbm_bw
 
     nnz_scalars = sk.nnz_blocks * BLOCK * BLOCK
@@ -1022,6 +1028,11 @@ def _headline_candidates(results):
         )
         if r and not r.get("timing_unreliable")
         and "fraction_of_roof" in r and "nnz_per_s" in r
+        # Hard sanity ceiling: nothing can beat the hardware by >5%; a
+        # candidate above it is corrupted timing whatever its flag says
+        # (small-N fractions legitimately run a few percent over the spec
+        # constant, never 2×).
+        and r["fraction_of_roof"] <= 1.05
     ]
 
 
@@ -1170,7 +1181,13 @@ def parent_main():
         plane_tries[sec] += 1
         log(f"[bench] {sec} below target; extra min-taken pass in a new window")
         again = run_section(sec, attempts=1, deadline=deadline)
-        if again and not again.get("partial"):
+        if (
+            again
+            and not again.get("partial")
+            # Corrupted-slope guard: a re-measure implying >105% of roof
+            # must not win the min (same sanity rule as the candidates).
+            and again.get("fraction_of_roof", 0.0) <= 1.05
+        ):
             best = min((sp, again), key=lambda r: r["time_per_spmm_s"])
             best["measurement_passes"] = sp.get("measurement_passes", 1) + 1
             results[sec] = best
