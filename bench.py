@@ -1251,9 +1251,15 @@ def parent_main():
         time.sleep(30)  # let the window turn over
         plane_extra_pass()
 
+    # Final headline selection FIRST (it refreshes results["chebyshev_spmm"]
+    # after any late re-measures — review finding: emitting after the last
+    # write left a stale summary key in the artifact), then persist, then
+    # print: the FINAL line of stdout is always the headline (round-3
+    # lesson: a mid-stream-only print was lost to the driver despite rc=0).
+    cands = _headline_candidates(results)
+    if cands:
+        results["chebyshev_spmm"] = max(cands, key=lambda r: r["fraction_of_roof"])
     _write_results(results)
-    # The FINAL line of stdout is always the headline (round-3 lesson:
-    # a mid-stream-only print was lost to the driver despite rc=0).
     _emit_headline(results, final=True)
 
 

@@ -121,6 +121,13 @@ def make_total_free_energy(
         return _make_total_free_energy_pallas_sharded(
             system, V, T, order, samples, key, mesh=mesh, overlap=overlap
         )
+    if mesh is not None or overlap is not None:
+        # Silently dropping these would let a user believe their solve ran
+        # on a custom mesh / with the overlap split (review finding).
+        raise ValueError(
+            "mesh= and overlap= apply only to method='kpm', "
+            "impl='pallas_sharded'"
+        )
 
     base = jnp.asarray(system.data)
 
@@ -212,13 +219,23 @@ def _make_total_free_energy_pallas_sharded(
         pack_operator_sharded,
         pack_vector_sharded,
     )
-    from ..parallel.sharded import AXIS, RowSharding, make_row_mesh
+    from ..parallel.sharded import AXIS, RowSharding
 
     sk = system.skeleton
     N = sk.n_sites
     if pk.plane_layout(sk, samples) is None:
+        # Same two-cause diagnosis as pallas_sharded._require_plane_shardable
+        # (decline_reason consults plan(), which can pick the flat layout
+        # and return None here — review finding).
+        if pk.plane_layout(sk, 1) is not None:
+            raise ValueError(
+                f"impl='pallas_sharded' declined: samples={samples} exceeds "
+                f"the plane kernel's VMEM working-set cap for lattice shape "
+                f"{tuple(sk.shape)}; use fewer samples"
+            )
         raise ValueError(
-            f"impl='pallas_sharded' declined: {pk.decline_reason(sk, samples)}"
+            "impl='pallas_sharded' declined: needs a cubic lattice with "
+            "Lx > 1 and Ly·Lz > 1"
         )
 
     host = np.array(system.host_data())
@@ -256,7 +273,15 @@ def _make_total_free_energy_pallas_sharded(
     ov = _resolve_overlap(overlap, sk.shape[0] // rs.n_shards)
 
     b_base = pack_operator_sharded(rs, host)
-    rng = np.random.default_rng(11 if key is None else int(np.asarray(key)[-1]))
+    if key is None:
+        seed = 11
+    else:
+        try:  # typed PRNG keys cannot be np.asarray'd directly
+            raw = np.asarray(jax.random.key_data(key)).ravel()
+        except Exception:
+            raw = np.asarray(key).ravel()
+        seed = int(raw[-1])
+    rng = np.random.default_rng(seed)
     z = rng.choice(np.array([-1.0, 1.0]), size=(N, BLOCK, samples))
     z = (z / np.sqrt(N * BLOCK)).astype(np.complex64)
     v_sh = pack_vector_sharded(rs, z)
@@ -269,9 +294,9 @@ def _make_total_free_energy_pallas_sharded(
     remat_chunk = _remat_chunk_for(order, "auto")
 
     def _F(delta):
-        # The mesh axes are Explicit, so the row sharding of b_base
-        # propagates through the insert in the type system — no
-        # with_sharding_constraint needed (or allowed).
+        # Auto mesh axes (see the mesh construction above): GSPMD
+        # propagates b_base's row sharding through the insert and
+        # reconciles the replicated Δ without an explicit constraint.
         b = pk.plane_packed_insert_swave(b_base, delta, sk)
         mu = _moments_pallas_sharded_jit(
             rs, b, v_sh, inv, order, samples, ov, remat_chunk

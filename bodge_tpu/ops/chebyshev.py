@@ -218,7 +218,12 @@ def _upgrade_to_pallas(impl: str, data, v0_or_K, sk: Skeleton) -> str:
     forced = os.environ.get("BODGE_PALLAS_UPGRADE") == "1"
     try:
         if forced or jax.default_backend() == "tpu":
-            if supported(sk, K):
+            if supported(sk, K) or (K > 4 and supported(sk, 4)):
+                # Either directly, or via moments()' probe-column chunking
+                # (wide LDOS-map batches split into feasible sweeps over
+                # one packed operator — review finding: the chunk path was
+                # unreachable from auto dispatch, dropping big maps onto
+                # the planar cliff).
                 return "pallas"
             if not sk.stencil and (
                 supported_gather(sk, K) or supported_gather(sk, min(K, 4))

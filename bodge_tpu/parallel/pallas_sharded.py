@@ -300,18 +300,24 @@ def _moments_pallas_sharded_jit(rs: RowSharding, b_sh, v0_sh, inv, order: int,
         if remat_chunk and steps > remat_chunk:
             # Two-level scan with per-chunk checkpointing: reverse-mode
             # memory drops from O(steps) vector copies (34 GB at 512²,
-            # order 512 — an OOM) to O(steps/chunk + chunk).
-            outer = -(-steps // remat_chunk)
+            # order 512 — an OOM) to O(steps/chunk + chunk).  The ragged
+            # tail runs as its own short scan — rounding the outer scan up
+            # would silently compute (and differentiate) up to chunk−1
+            # discarded SpMM sweeps (review finding).
+            full = steps // remat_chunk
+            rem = steps - full * remat_chunk
 
             @jax.checkpoint
             def chunk_body(carry, _):
                 return lax.scan(body, carry, None, length=remat_chunk)
 
-            (_, _), (alphas, betas) = lax.scan(
-                chunk_body, (t0, t1), None, length=outer
-            )
-            alphas = alphas.reshape(outer * remat_chunk, K)[:steps]
-            betas = betas.reshape(outer * remat_chunk, K)[:steps]
+            carry, (a1, b1) = lax.scan(chunk_body, (t0, t1), None, length=full)
+            alphas = a1.reshape(full * remat_chunk, K)
+            betas = b1.reshape(full * remat_chunk, K)
+            if rem:
+                _, (a2, b2) = lax.scan(body, carry, None, length=rem)
+                alphas = jnp.concatenate([alphas, a2], axis=0)
+                betas = jnp.concatenate([betas, b2], axis=0)
         else:
             (_, _), (alphas, betas) = lax.scan(body, (t0, t1), None, length=steps)
         rest = jnp.stack([alphas, betas], axis=1).reshape(2 * steps, K)

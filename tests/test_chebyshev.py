@@ -234,3 +234,18 @@ def test_decline_reason_distinguishes_causes():
     # A probe count far past the plane kernel's VMEM cap names K.
     reason = pk.decline_reason(cubic.skeleton, 10**6)
     assert reason is not None and "K=1000000" in reason
+
+
+def test_wide_probe_batches_still_upgrade(monkeypatch):
+    """LDOS-map-sized probe batches (K = 4·n_sites, far past the plane
+    VMEM cap) must still auto-upgrade to the Pallas kernel — moments()
+    chunks the columns; falling to the planar cliff for exactly the
+    workload the chunk path was built for was a review finding."""
+    monkeypatch.setenv("BODGE_PALLAS_UPGRADE", "1")
+    lattice, system = swave_system((24, 24, 1))
+    sk = system.skeleton
+    K = 4 * lattice.size  # 2304 probe columns
+    from bodge_tpu.ops.pallas_spmm import supported
+
+    assert not supported(sk, K)  # past the VMEM cap...
+    assert kpm._upgrade_to_pallas("planar", system.data, K, sk) == "pallas"
