@@ -101,6 +101,32 @@ def _stream_probe(hbm_bw):
     return best or None
 
 
+def _stream_ceiling(hbm_bw, achieved_bw, attempts=3):
+    """A streaming-bandwidth reading that is valid as a CEILING for the
+    kernel measured in the same window.
+
+    The round-4 artifact recorded fraction_of_measured_stream = 2.6–6.6 —
+    physically impossible for a ceiling comparison: the probe itself was
+    relay-throttled below the kernel's achieved bandwidth, so the field
+    could not distinguish "kernel slow" from "probe slow" (round-4 verdict
+    item 3).  A probe reading below the kernel's own achieved bandwidth is
+    a self-contradiction; retry across sub-windows and, if it never clears
+    the kernel's figure, report it as invalid instead of publishing a
+    nonsensical ratio.
+
+    Returns ``(bw_or_None, valid)``: ``valid`` means bw ≥ 0.98·achieved.
+    """
+    best = 0.0
+    for _ in range(attempts):
+        bw = _stream_probe(hbm_bw)
+        if bw:
+            best = max(best, bw)
+        if best >= 0.98 * achieved_bw:
+            return best, True
+        time.sleep(2)  # let the relay window turn over before re-probing
+    return (best or None), False
+
+
 def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil", op_dtype="f32"):
     """Headline: sustained SpMM throughput inside a KPM moment scan."""
     hbm_bw = hbm_roof_for_device(jax.devices()[0])
@@ -246,15 +272,22 @@ def bench_spmm_chebyshev(L=200, order=256, K=4, impl="stencil", op_dtype="f32"):
     # the spec roof between windows while the kernel tracked it).  Record
     # the bandwidth a plain streaming pass achieves in the SAME window so
     # the artifact separates kernel efficiency from machine weather.
-    measured_bw = _stream_probe(hbm_bw)
+    achieved_bw = step_bytes / t_step
+    measured_bw, stream_valid = _stream_ceiling(hbm_bw, achieved_bw)
     if measured_bw:
         log(f"[spmm:{impl}] concurrent streaming bandwidth: "
-            f"{measured_bw/1e9:.0f} GB/s ({100*measured_bw/hbm_bw:.0f}% of spec roof)")
+            f"{measured_bw/1e9:.0f} GB/s ({100*measured_bw/hbm_bw:.0f}% of spec "
+            f"roof){'' if stream_valid else ' — INVALID as ceiling (probe below kernel)'}")
     result_extra = {}
-    if measured_bw:
+    if measured_bw and stream_valid:
         result_extra = {
             "measured_stream_GBps": measured_bw / 1e9,
-            "fraction_of_measured_stream": step_bytes / t_step / measured_bw,
+            "fraction_of_measured_stream": achieved_bw / measured_bw,
+        }
+    elif measured_bw:
+        result_extra = {
+            "measured_stream_GBps": measured_bw / 1e9,
+            "stream_probe_invalid": True,  # probe relay-hit; no ratio emitted
         }
     return {
         **result_extra,
@@ -359,6 +392,26 @@ def bench_diagonalize(sizes=(32,)):
     except Exception:
         pass
 
+    # One tiny device-eigh pre-probe (dim 256) through the tunnel BEFORE
+    # any sized attempt: if the remote compile service is hung, this is
+    # where the section dies — with every banded number already flushed
+    # and the parent's merge-with-prior keeping the committed ladder
+    # (round-4 failure: a hung 32×32 device eigh took the section down and
+    # the salvage overwrote the artifact's ladder with {"partial": true}).
+    device_ok = probe_backend()
+    if device_ok:
+        try:
+            _, tiny = build_swave(4)
+            np.asarray(
+                pl_ops.eigvalsh_planar(tiny.device_operator(), tiny.skeleton)
+            )
+            log("[diag] device eigh pre-probe (dim 256) ok")
+        except Exception as e:
+            device_ok = False
+            log(f"[diag] device eigh pre-probe failed: {str(e)[:80]}")
+    else:
+        log("[diag] backend probe failed; skipping device eigh attempts")
+
     for L in sizes:
         t0 = time.perf_counter()
         lattice, system = build_swave(L)
@@ -383,6 +436,10 @@ def bench_diagonalize(sizes=(32,)):
         out.append(entry)
         _flush_partial(out)  # each size survives a mid-section kill
 
+        if not device_ok:
+            entry["device_error"] = "skipped: backend down or pre-probe failed"
+            _flush_partial(out)
+            continue
         try:
             t0 = time.perf_counter()
             E = np.asarray(
@@ -473,6 +530,77 @@ def bench_diag_kpm_tpu(L=100, order=4096, samples=8):
         f"gap {gap_kpm:.4f} (exact {gap_exact}, "
         f"err {result.get('gap_abs_error', float('nan')):.4f})")
     return result
+
+
+def bench_diag_lanczos(sizes=(32, 100), k=8):
+    """On-device lowest-|ε| eigensolve — the TPU-native diagonalize story.
+
+    ``Hamiltonian.diagonalize(method="lanczos", k=…)`` (filtered-subspace
+    iteration on the fused Pallas Chebyshev kernel, float64 host
+    Rayleigh–Ritz; ``bodge_tpu/ops/lanczos.py``) computes the k smallest
+    positive BdG states.  Cross-validated here against the exact banded
+    LAPACK ladder at L=32 (1e-6 gate) and against the offline exact
+    100×100 artifact (``diag_headline.json``: host banded LAPACK,
+    7 732 s) at the headline size.
+    """
+    import warnings as _warnings
+
+    from bodge_tpu.ops import lanczos as lz
+
+    out = []
+    for L in sizes:
+        lattice, system = build_swave(L)
+        entry = {"L": L, "dim": 4 * lattice.size, "k": k}
+        log(f"[diag:lanczos] {L}×{L}: solving {k} lowest positive states ...")
+        t0 = time.perf_counter()
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")
+            E, X, info = lz.lowest_eigenstates(
+                system.host_data(), system.skeleton, 2 * k + 2,
+                full_output=True, seed=1,
+            )
+        entry["time_s"] = time.perf_counter() - t0
+        entry["impl"] = info["impl"]
+        entry["iterations"] = info["iterations"]
+        entry["converged"] = bool(info["converged"])
+        entry["max_rel_residual"] = float(np.max(info["residuals"]))
+        Epos = np.sort(E[E > 0])[:k]
+        entry["E_positive"] = [float(x) for x in Epos]
+        entry["gap"] = float(Epos[0]) if len(Epos) else None
+        log(f"[diag:lanczos] {L}×{L}: {entry['time_s']:.1f} s "
+            f"({info['iterations']} sweeps, impl={info['impl']}, "
+            f"gap {entry['gap']})")
+        if L <= 48:
+            from bodge_tpu.ops import banded as banded_ops
+
+            t0 = time.perf_counter()
+            Eb = banded_ops.eigvalsh_banded(
+                np.asarray(system._data), system.skeleton
+            )
+            entry["banded_host_s"] = time.perf_counter() - t0
+            ref = np.sort(Eb[Eb > 0])[:k]
+            m = min(len(Epos), len(ref))
+            entry["max_abs_err_vs_banded"] = float(np.abs(Epos[:m] - ref[:m]).max())
+            log(f"[diag:lanczos] {L}×{L}: max |ΔE| vs banded ladder "
+                f"{entry['max_abs_err_vs_banded']:.2e}")
+        if L == 100:
+            head_path = os.path.join(REPO_DIR, "diag_headline.json")
+            if os.path.exists(head_path):
+                with open(head_path) as f:
+                    head = json.load(f)
+                entry["exact_gap_offline"] = head.get("gap")
+                entry["exact_time_offline_s"] = head.get("eigvalsh_s")
+                if entry["gap"] is not None and head.get("gap"):
+                    entry["gap_abs_err_vs_exact"] = abs(entry["gap"] - head["gap"])
+                    entry["speedup_vs_exact_host"] = (
+                        head["eigvalsh_s"] / entry["time_s"]
+                    )
+                    log(f"[diag:lanczos] 100×100: gap err "
+                        f"{entry['gap_abs_err_vs_exact']:.2e}, "
+                        f"{entry['speedup_vs_exact_host']:.0f}× vs exact host")
+        out.append(entry)
+        _flush_partial(out)
+    return out
 
 
 def bench_kpm_ldos(L=200, order=512):
@@ -692,11 +820,17 @@ def bench_spmm_sharded(L=200, order=256, K=4):
         f"({100*frac:.1f}% of roof, {n_dev} device(s))"
     )
     extra = {}
-    measured_bw = _stream_probe(hbm_bw)
-    if measured_bw:
+    achieved_bw = step_bytes / t_step
+    measured_bw, stream_valid = _stream_ceiling(hbm_bw, achieved_bw)
+    if measured_bw and stream_valid:
         extra = {
             "measured_stream_GBps": measured_bw / 1e9,
-            "fraction_of_measured_stream": step_bytes / t_step / measured_bw,
+            "fraction_of_measured_stream": achieved_bw / measured_bw,
+        }
+    elif measured_bw:
+        extra = {
+            "measured_stream_GBps": measured_bw / 1e9,
+            "stream_probe_invalid": True,
         }
     return {
         **extra,
@@ -835,6 +969,7 @@ SECTIONS = {
     "assembly": bench_assembly,
     "diagonalize": bench_diagonalize,
     "diag_kpm_tpu": bench_diag_kpm_tpu,
+    "diag_lanczos": bench_diag_lanczos,
     "kpm_ldos": bench_kpm_ldos,
     "consistency": bench_consistency,
     "spmm_gather": bench_spmm_gather,
@@ -858,6 +993,7 @@ SECTION_TIMEOUT_S = {
     # through the tunnel is killed without losing the exact result.
     "diagonalize": 120,
     "diag_kpm_tpu": 600,
+    "diag_lanczos": 900,
     "kpm_ldos": 900,
     "consistency": 600,
     "spmm_gather": 600,
@@ -941,6 +1077,9 @@ SECTION_STALL_S = 420
 SECTION_STALL_OVERRIDES = {
     "diagonalize": 120,
     "assembly": 900,
+    # Heavy float64 host Rayleigh–Ritz phases between device sweeps are
+    # legitimately silent for minutes at the 100×100 size.
+    "diag_lanczos": 600,
 }
 
 
@@ -1081,6 +1220,18 @@ def _emit_headline(results, final=False) -> bool:
             return True
         return False
     head = max(cands, key=lambda r: r["fraction_of_roof"])
+    # A measured fraction above 1.0 means the spec bandwidth constant
+    # understates this chip (measured streaming up to ~1.27 TB/s vs the
+    # 819 GB/s "v5 lite" spec) — publish a physically meaningful ≤1.0
+    # fraction and keep the raw value + a flag in the artifact (advisor
+    # finding: a >100% headline contradicts the harness's own "a slope
+    # cannot beat the hardware" rule).
+    frac_raw = head["fraction_of_roof"]
+    if frac_raw > 1.0:
+        head = dict(head)
+        head["fraction_of_spec_roof_raw"] = frac_raw
+        head["spec_roof_understates_chip"] = True
+        head["fraction_of_roof"] = 1.0
     results["chebyshev_spmm"] = head
     print(
         json.dumps(
@@ -1094,6 +1245,32 @@ def _emit_headline(results, final=False) -> bool:
         flush=True,
     )
     return True
+
+
+def _section_lost(result) -> bool:
+    """True when a section outcome carries no measured data — writing it
+    over a committed prior value would erase real numbers (the round-4
+    failure: a hung diagonalize section's salvage wrote
+    ``{"partial": true}`` over the artifact's sized ladder)."""
+    if result is None:
+        return True
+    if isinstance(result, dict) and result.get("partial"):
+        return not result.get("items")
+    return False
+
+
+def _merge_section_with_prior(section, new, prior_results):
+    """Never let a failed/empty section replace committed prior data."""
+    prior = (prior_results or {}).get(section)
+    if _section_lost(new) and prior is not None and not _section_lost(prior):
+        log(f"[bench] section {section} lost this run; carrying the prior "
+            "artifact's value instead")
+        if isinstance(prior, dict):
+            return {**prior, "carried_from_prior_run": True}
+        if isinstance(prior, list):
+            return prior + [{"carried_from_prior_run": True}]
+        return prior
+    return new
 
 
 def _write_results(results):
@@ -1117,6 +1294,14 @@ def parent_main():
     budget = float(os.environ.get("BENCH_DEADLINE_S", 1500))
     deadline = time.monotonic() + budget
     results = {}
+
+    # The committed artifact is the fallback for any section this run
+    # loses (merge-not-overwrite — round-4 verdict item 2).
+    try:
+        with open(os.path.join(REPO_DIR, "bench_results.json")) as f:
+            prior_results = json.load(f)
+    except Exception:
+        prior_results = {}
 
     # Stash the committed prior run's diagonalize entries before the first
     # incremental _write_results overwrites them — the diagonalize child
@@ -1153,6 +1338,7 @@ def parent_main():
         "consistency",
         "spmm_gather",
         "diag_kpm_tpu",
+        "diag_lanczos",
         "kpm_ldos",
         "assembly",
         "spmm_planar",
@@ -1164,7 +1350,7 @@ def parent_main():
     # diagonalize gets ONE attempt: a retry would double its 120 s cap for
     # a device-eigh probe whose result is already salvaged via the partial
     # flush (the banded number lands on disk within ~15 s).
-    attempts = {"spmm_pallas": 4, "diagonalize": 1}
+    attempts = {"spmm_pallas": 4, "diagonalize": 1, "diag_lanczos": 1}
     # The driver line is printed once mid-stream, as soon as the FAST SpMM
     # block (first four sections, each 1–3 min warm) has been attempted —
     # late enough to pick the best of those configs, early enough that no
@@ -1222,10 +1408,12 @@ def parent_main():
     for idx, section in enumerate(order):
         if time.monotonic() > deadline:
             log(f"[bench] global deadline reached; skipping {section}")
-            results[section] = None
+            results[section] = _merge_section_with_prior(section, None, prior_results)
             continue
-        results[section] = run_section(
-            section, attempts=attempts.get(section, 2), deadline=deadline
+        results[section] = _merge_section_with_prior(
+            section,
+            run_section(section, attempts=attempts.get(section, 2), deadline=deadline),
+            prior_results,
         )
         elapsed = time.monotonic() - (deadline - budget)
         if idx + 1 >= fast_block or elapsed > 420:

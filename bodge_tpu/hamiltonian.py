@@ -654,7 +654,14 @@ class Hamiltonian:
         return E, X
 
     @typecheck
-    def diagonalize(self, cuda: bool = False, format: str = "reshape", method: str = "dense"):
+    def diagonalize(
+        self,
+        cuda: bool = False,
+        format: str = "reshape",
+        method: str = "dense",
+        k: Optional[int] = None,
+        **solver_kwargs,
+    ):
         """Positive eigenvalues and eigenvectors of the dense Hamiltonian.
 
         ``format="raw"``: ``(E, X)`` with eigenvectors as columns, exactly
@@ -666,10 +673,47 @@ class Hamiltonian:
         banded Hermitian driver after a bandwidth-minimizing RCM site
         relabeling — exact, and O(dim²·bandwidth) instead of O(dim³) for
         open-boundary lattices (see :mod:`bodge_tpu.ops.banded`).
+
+        ``method="lanczos"`` computes only the ``k`` smallest *positive*
+        eigenpairs (the states physics queries use: minigaps, gap edges,
+        bound states) by Chebyshev-filtered subspace iteration on the
+        block-sparse Pallas SpMM — O(order·nnz·k) on-device instead of an
+        O(dim³) host factorization; see
+        :func:`bodge_tpu.ops.lanczos.lowest_eigenstates` for the knobs
+        (``tol``, ``max_iter``, ``impl``, ``operator_dtype``…).  The
+        reference's ``subset_by_value=(0, ∞)`` semantics
+        (``bodge/hamiltonian.py:229``) restricted to the bottom of the
+        positive spectrum.
         """
         if cuda:
             raise RuntimeError(
                 "The `cuda` flag is not applicable: this build runs on TPU/CPU via JAX."
+            )
+        if method == "lanczos":
+            from .ops import lanczos as lanczos_ops
+
+            if k is None:
+                raise ValueError(
+                    "diagonalize(method='lanczos') needs k = number of "
+                    "positive eigenpairs to compute"
+                )
+            # 2k+2: |ε| ties can split the ± signs unevenly, so a strict
+            # 2k request occasionally yields only k−1 positive states.
+            E_all, X_all = lanczos_ops.lowest_eigenstates(
+                self.host_data(), self._sk, 2 * k + 2, **solver_kwargs
+            )
+            pos = E_all > 0
+            eigval = np.asarray(E_all[pos])[:k]
+            eigvec = np.asarray(X_all[:, pos])[:, :k]
+            if format == "raw":
+                return eigval, eigvec
+            if format == "reshape":
+                return eigval, eigvec.T.reshape(eigval.size, -1, BLOCK)
+            raise RuntimeError(f"Eigenstate format '{format}' is not yet supported.")
+        if solver_kwargs:
+            raise TypeError(
+                f"diagonalize(method='{method}') got unexpected keywords: "
+                f"{sorted(solver_kwargs)}"
             )
         if method == "banded":
             from .ops import banded as banded_ops
@@ -696,7 +740,7 @@ class Hamiltonian:
             return eigval, eigvec.T.reshape(eigval.size, -1, BLOCK)
         raise RuntimeError(f"Eigenstate format '{format}' is not yet supported.")
 
-    def eigenvalues(self, method: str = "dense"):
+    def eigenvalues(self, method: str = "dense", k: Optional[int] = None, **solver_kwargs):
         """Positive eigenvalues only (no eigenvectors).
 
         ``method="banded"`` computes the identical spectrum via LAPACK's
@@ -704,7 +748,28 @@ class Hamiltonian:
         this is the only tractable exact path — e.g. the 100×100 s-wave
         case (a 40 000² matrix) solves in ~40 min on a 2-core host where
         dense LAPACK would need ~20 h.
+
+        ``method="lanczos"`` returns only the ``k`` smallest positive
+        eigenvalues via the device-side filtered subspace iteration
+        (:mod:`bodge_tpu.ops.lanczos`) — seconds on-chip where the exact
+        full-spectrum paths take minutes to hours.
         """
+        if method == "lanczos":
+            from .ops import lanczos as lanczos_ops
+
+            if k is None:
+                raise ValueError(
+                    "eigenvalues(method='lanczos') needs k = number of "
+                    "positive eigenvalues to compute"
+                )
+            E_all, _ = lanczos_ops.lowest_eigenstates(
+                self.host_data(), self._sk, 2 * k + 2, **solver_kwargs
+            )
+            return np.asarray(E_all[E_all > 0])[:k]
+        if solver_kwargs or k is not None:
+            raise TypeError(
+                f"eigenvalues(method='{method}') got unexpected keywords"
+            )
         if method not in ("dense", "banded"):
             raise RuntimeError(f"eigenvalues method '{method}' is not supported")
         if self._eigh_cache is not None and self._eigh_cache[0] == self._version:

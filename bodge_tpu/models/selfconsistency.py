@@ -20,7 +20,7 @@ SpMM scan without the eigenvector-degeneracy pathologies of eigh JVPs
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Optional, Tuple
 
 import numpy as np
@@ -46,6 +46,115 @@ def data_with_onsite_swave(base_data, delta):
     data = base_data.at[:, 0, 0:2, 2:4].set(blk)
     data = data.at[:, 0, 2:4, 0:2].set(blkH)
     return data
+
+
+# ---------------------------------------------------------------------------
+# Bond-singlet pairing fields (d-wave / extended-s gap equations)
+# ---------------------------------------------------------------------------
+def bond_structure_dwave(sk: Skeleton) -> np.ndarray:
+    """Per-slot singlet structure ``[S, 2, 2]`` of the d_{x²−y²} order
+    parameter on the cubic stencil: +jσ2 on x-bonds, −jσ2 on y-bonds,
+    zero elsewhere — the slot-table form of the reference's ``dwave()``
+    form factor ((δx²−δy²)/|δ|²)·jσ2 on unit bonds
+    (``bodge/hamiltonian.py:461-484``)."""
+    if not sk.stencil:
+        raise ValueError("bond_structure_dwave needs a cubic stencil skeleton")
+    j2 = np.asarray(jσ2, np.complex128)
+    struct = np.zeros((sk.n_slots, 2, 2), np.complex128)
+    for s, (axis, _d) in enumerate(sk.slots):
+        if axis == 0:
+            struct[s] = j2
+        elif axis == 1:
+            struct[s] = -j2
+    return struct
+
+
+@lru_cache(maxsize=32)
+def _bond_mask(sk: Skeleton) -> np.ndarray:
+    """``[N, S]`` float mask of genuine nearest-neighbor bonds.
+
+    The stencil skeleton's column table wraps at every boundary (periodic
+    links are *data* zeros, not structural holes), so a bond field must
+    not leak pairing onto wrap links of an open-boundary system — the
+    same ``|ci − cj| == 1`` mask users apply in vectorized assembly."""
+    Lx, Ly, Lz = sk.shape
+    x, y, z = np.meshgrid(
+        np.arange(Lx), np.arange(Ly), np.arange(Lz), indexing="ij"
+    )
+    coords = np.stack([x.ravel(), y.ravel(), z.ravel()], axis=1)
+    mask = np.zeros(sk.cols.shape, np.float64)
+    for s, (axis, d) in enumerate(sk.slots):
+        if axis < 0:
+            continue
+        inside = (coords[:, axis] + d >= 0) & (coords[:, axis] + d < sk.shape[axis])
+        mask[:, s] = inside & (sk.cols[:, s] >= 0)
+    return mask
+
+
+def bond_field(delta_site, sk: Skeleton, struct=None):
+    """Directed bond amplitudes ``m: [N, S]`` from a per-site field.
+
+    ``m(i→j) = (δ_i + δ_j)/2`` on genuine bonds, zero on wrap links,
+    padding, and slots whose ``struct`` entry vanishes.  Symmetric in
+    (i, j), so the inserted operator is Hermitian.  Differentiable."""
+    mask = _bond_mask(sk)
+    if struct is not None:
+        active = (np.abs(np.asarray(struct)).sum(axis=(1, 2)) > 0).astype(float)
+        mask = mask * active[None, :]
+    safe = np.where(sk.valid, sk.cols, 0)
+    d = jnp.asarray(delta_site)
+    m = 0.5 * (d[:, None] + d[safe])
+    return m * jnp.asarray(mask, m.dtype)
+
+
+def data_with_bond_singlet(base_data, delta_site, sk: Skeleton, struct):
+    """Insert a bond-singlet pairing field into ELL block data.
+
+    ``delta_site: [N]`` is a per-site amplitude; the pairing block on bond
+    (i, j) at slot s is ``((δ_i+δ_j)/2)·struct[s]`` with the Hermitian
+    partner ``struct[trans_slot[s]]†`` filled automatically.  ALL pairing
+    sub-blocks are overwritten (on-site pairing included — pass a struct
+    with a slot-0 entry to combine).  Differentiable in ``delta_site``.
+    """
+    struct_j = jnp.asarray(np.asarray(struct), base_data.dtype)
+    structH = jnp.conj(
+        jnp.swapaxes(struct_j[np.asarray(sk.trans_slot)], -1, -2)
+    )
+    m = bond_field(delta_site, sk, struct).astype(base_data.dtype)
+    data = base_data.at[:, :, 0:2, 2:4].set(m[:, :, None, None] * struct_j[None])
+    data = data.at[:, :, 2:4, 0:2].set(m[:, :, None, None] * structH[None])
+    return data
+
+
+def _bond_weights(struct) -> np.ndarray:
+    """Per-slot condensation weight w_s = ‖struct_s‖²_F / 2 (=1 for jσ2)."""
+    s = np.asarray(struct)
+    return (np.abs(s) ** 2).sum(axis=(1, 2)) / 2.0
+
+
+def _bond_penalty(m, struct, V: float):
+    """Condensation energy Σ_bonds |Δ_b|²/V from directed amplitudes
+    (each undirected bond counted twice in ``m`` → the ½ below)."""
+    w = jnp.asarray(_bond_weights(struct), jnp.real(m).dtype)
+    return jnp.sum(w[None, :] * jnp.abs(m) ** 2) / (2.0 * V)
+
+
+def _resolve_pairing(pairing, sk: Skeleton):
+    """None/'swave' → on-site path; 'dwave' or an [S,2,2] array → bond path."""
+    if pairing in (None, "swave", "onsite_swave"):
+        return None
+    if isinstance(pairing, str):
+        if pairing == "dwave":
+            return bond_structure_dwave(sk)
+        raise ValueError(f"Unknown pairing '{pairing}' (use 'swave', 'dwave', "
+                         "or an [S, 2, 2] structure array)")
+    struct = np.asarray(pairing)
+    if struct.shape != (sk.n_slots, 2, 2):
+        raise ValueError(
+            f"pairing structure must have shape {(sk.n_slots, 2, 2)}, "
+            f"got {struct.shape}"
+        )
+    return struct
 
 
 def _free_energy_dense(data, sk: Skeleton, T: float):
@@ -105,21 +214,41 @@ def make_total_free_energy(
     impl: str = "stencil",
     mesh=None,
     overlap=None,
+    delta_max: float = 2.0,
+    pairing=None,
 ) -> Callable:
-    """Return a differentiable ``F_total(Δ)`` for an on-site s-wave field.
+    """Return a differentiable ``F_total(Δ)`` over a pairing field Δ.
 
-    ``system`` supplies the normal-state Hamiltonian (its current pairing
-    blocks at slot 0 are overwritten by Δ).  ``V > 0`` is the attractive
-    interaction strength in F_total = F_BdG + Σ|Δ_i|²/V.
+    ``system`` supplies the normal-state Hamiltonian (its pairing blocks
+    are overwritten by the field).  ``V > 0`` is the attractive
+    interaction strength in F_total = F_BdG + (condensation term).
+
+    ``pairing`` selects the order-parameter channel:
+
+    - ``None``/"swave" (default): on-site singlet Δ_i·jσ2, condensation
+      term Σ_i |Δ_i|²/V.
+    - ``"dwave"``: bond singlet with the d_{x²−y²} form factor — the bond
+      amplitude is (δ_i+δ_j)/2 with ±jσ2 on x/y bonds
+      (:func:`bond_structure_dwave`); condensation term Σ_bonds |Δ_b|²/V.
+    - an ``[S, 2, 2]`` array: custom per-slot bond structure.
+
+    ``delta_max`` is the KPM paths' validity envelope: the Chebyshev scale
+    is estimated once with |Δ| = delta_max headroom, and the recursion
+    diverges silently if the optimizer ever drives max|Δ| beyond it.  For
+    strong coupling (BCS estimate Δ ≈ 2·bandwidth·exp(−1/(V·DOS)) above
+    ~2, or V ≳ 4t), raise ``delta_max`` accordingly (advisor finding: the
+    headroom used to be a fixed 2.0 with no knob and no documentation).
     """
     sk = system.skeleton
     T = float(temperature)
+    struct = _resolve_pairing(pairing, sk)
 
     if method == "kpm" and impl == "pallas_sharded":
         # Row-sharded, complex-free branch (runs on TPU backends without
         # complex support); must not touch the complex device path below.
         return _make_total_free_energy_pallas_sharded(
-            system, V, T, order, samples, key, mesh=mesh, overlap=overlap
+            system, V, T, order, samples, key, mesh=mesh, overlap=overlap,
+            delta_max=delta_max, struct=struct,
         )
     if mesh is not None or overlap is not None:
         # Silently dropping these would let a user believe their solve ran
@@ -131,11 +260,20 @@ def make_total_free_energy(
 
     base = jnp.asarray(system.data)
 
+    if struct is None:
+        insert = data_with_onsite_swave
+        penalty = lambda delta: jnp.sum(jnp.abs(delta) ** 2) / V
+    else:
+        insert = lambda b, delta: data_with_bond_singlet(b, delta, sk, struct)
+        penalty = lambda delta: _bond_penalty(
+            bond_field(delta, sk, struct), struct, V
+        )
+
     if method == "dense":
 
         def F_total(delta):
-            data = data_with_onsite_swave(base, delta)
-            return _free_energy_dense(data, sk, T) + jnp.sum(jnp.abs(delta) ** 2) / V
+            data = insert(base, delta)
+            return _free_energy_dense(data, sk, T) + penalty(delta)
 
         return jax.jit(F_total)
 
@@ -144,10 +282,8 @@ def make_total_free_energy(
         # across the optimization trajectory.  (The bound itself is a
         # one-time power iteration — always cheap on the XLA stencil.)
         bound_impl = "stencil" if impl == "pallas" else impl
-        probe_delta = jnp.full((sk.n_sites,), 2.0, dtype=base.dtype)
-        scale = spectral_bound(
-            data_with_onsite_swave(base, probe_delta), sk, impl=bound_impl
-        )
+        probe_delta = jnp.full((sk.n_sites,), float(delta_max), dtype=base.dtype)
+        scale = spectral_bound(insert(base, probe_delta), sk, impl=bound_impl)
 
         if T == 0:
             g = lambda E: -np.abs(E) / 2
@@ -177,16 +313,16 @@ def make_total_free_energy(
                 )
 
             def F_total(delta):
-                data = data_with_onsite_swave(base, delta)
+                data = insert(base, delta)
                 F = _free_energy_kpm_pallas(data, sk, z, coeffs, inv)
-                return F + jnp.sum(jnp.abs(delta) ** 2) / V
+                return F + penalty(delta)
 
             return jax.jit(F_total)
 
         def F_total(delta):
-            data = data_with_onsite_swave(base, delta)
+            data = insert(base, delta)
             F = _free_energy_kpm(data, sk, T, z, coeffs, inv, impl)
-            return F + jnp.sum(jnp.abs(delta) ** 2) / V
+            return F + penalty(delta)
 
         return jax.jit(F_total)
 
@@ -195,7 +331,7 @@ def make_total_free_energy(
 
 def _make_total_free_energy_pallas_sharded(
     system, V: float, T: float, order: int, samples: int, key,
-    mesh=None, overlap=None,
+    mesh=None, overlap=None, delta_max: float = 2.0, struct=None,
 ) -> Callable:
     """``F_total(Δ_real)`` through the row-sharded Pallas plane kernel.
 
@@ -239,12 +375,23 @@ def _make_total_free_energy_pallas_sharded(
         )
 
     host = np.array(system.host_data())
-    # Spectral bound with Δ headroom (host-side insertion; the bound's
-    # power iteration uses the backend's complex-free default impl).
+    # Spectral bound with |Δ| = delta_max headroom (host-side insertion;
+    # the bound's power iteration uses the backend's complex-free default
+    # impl).  The Chebyshev recursion diverges if the optimizer drives
+    # max|Δ| beyond delta_max — see make_total_free_energy's docstring.
     probe = np.array(host)
-    j2 = np.asarray(_js2, dtype=probe.dtype)
-    probe[:, 0, 0:2, 2:4] = 2.0 * j2
-    probe[:, 0, 2:4, 0:2] = 2.0 * np.conj(j2).T
+    if struct is None:
+        j2 = np.asarray(_js2, dtype=probe.dtype)
+        probe[:, 0, 0:2, 2:4] = float(delta_max) * j2
+        probe[:, 0, 2:4, 0:2] = float(delta_max) * np.conj(j2).T
+    else:
+        m_h = np.asarray(
+            bond_field(np.full((N,), float(delta_max)), sk, struct)
+        ).astype(probe.real.dtype)
+        st = np.asarray(struct, probe.dtype)
+        stH = np.conj(np.swapaxes(st[np.asarray(sk.trans_slot)], -1, -2))
+        probe[:, :, 0:2, 2:4] = m_h[:, :, None, None] * st[None]
+        probe[:, :, 2:4, 0:2] = m_h[:, :, None, None] * stH[None]
     scale = float(spectral_bound(probe, sk))
 
     if T == 0:
@@ -273,16 +420,11 @@ def _make_total_free_energy_pallas_sharded(
     ov = _resolve_overlap(overlap, sk.shape[0] // rs.n_shards)
 
     b_base = pack_operator_sharded(rs, host)
-    if key is None:
-        seed = 11
-    else:
-        try:  # typed PRNG keys cannot be np.asarray'd directly
-            raw = np.asarray(jax.random.key_data(key)).ravel()
-        except Exception:
-            raw = np.asarray(key).ravel()
-        seed = int(raw[-1])
-    rng = np.random.default_rng(seed)
-    z = rng.choice(np.array([-1.0, 1.0]), size=(N, BLOCK, samples))
+    # Shared probe builder (full key entropy; identical keys → identical
+    # probes across all trace-estimator paths — advisor finding).
+    from ..ops.chebyshev import rademacher_probes
+
+    z = rademacher_probes(N, samples, key, np.float64, default_seed=11)
     z = (z / np.sqrt(N * BLOCK)).astype(np.complex64)
     v_sh = pack_vector_sharded(rs, z)
 
@@ -297,12 +439,18 @@ def _make_total_free_energy_pallas_sharded(
         # Auto mesh axes (see the mesh construction above): GSPMD
         # propagates b_base's row sharding through the insert and
         # reconciles the replicated Δ without an explicit constraint.
-        b = pk.plane_packed_insert_swave(b_base, delta, sk)
+        if struct is None:
+            b = pk.plane_packed_insert_swave(b_base, delta, sk)
+            cond = jnp.sum(delta.astype(jnp.float32) ** 2) / V
+        else:
+            m = bond_field(delta.astype(jnp.float32), sk, struct)
+            b = pk.plane_packed_insert_bond(b_base, m, sk, struct)
+            cond = _bond_penalty(m, struct, V)
         mu = _moments_pallas_sharded_jit(
             rs, b, v_sh, inv, order, samples, ov, remat_chunk
         )
         F = 0.5 * jnp.dot(coeffs, jnp.sum(mu, axis=1)) / samples * (N * BLOCK)
-        return F + jnp.sum(delta.astype(jnp.float32) ** 2) / V
+        return F + cond
 
     F_total = jax.jit(_F)
     F_total.real_input = True

@@ -113,9 +113,18 @@ def rademacher_probes(N, samples, key, dtype, default_seed=42) -> np.ndarray:
 
     Built in NumPy (device backends need not support complex RNG) and
     shared by the single-device and sharded trace estimators so identical
-    keys give identical estimates.
+    keys give identical estimates.  Accepts raw uint32 and typed JAX PRNG
+    keys alike; the seed folds in every key word (advisor finding: a
+    last-word-only seed collapsed distinct keys onto identical probes).
     """
-    seed = default_seed if key is None else int(np.sum(np.asarray(key))) & 0x7FFFFFFF
+    if key is None:
+        seed = default_seed
+    else:
+        try:  # typed PRNG keys cannot be np.asarray'd directly
+            raw = np.asarray(jax.random.key_data(key))
+        except Exception:
+            raw = np.asarray(key)
+        seed = int(np.sum(raw.astype(np.uint64))) & 0x7FFFFFFF
     rng = np.random.default_rng(seed)
     z = 2.0 * rng.integers(0, 2, size=(N, BLOCK, samples)) - 1.0
     return z.astype(dtype)
@@ -310,6 +319,7 @@ def moments(
         return pl_ops.moments_planar(dp, sk, vp, inv, order)
     if impl == "pallas":
         from .pallas_spmm import (
+            decline_reason,
             moments_pallas_fused,
             pack_operator,
             pack_vector,
@@ -355,6 +365,13 @@ def moments(
                 mu = moments_pallas_fused(b_packed, v0p, sk, inv, order, kc)
                 outs.append(mu[:, : kc - pad] if pad else mu)
             return jnp.concatenate(outs, axis=1)
+        warnings.warn(
+            f"impl='pallas' cannot be honored (no feasible probe-chunk "
+            f"width: {decline_reason(sk, K)}); falling back to the XLA "
+            "stencil (~100× slower per SpMM)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         impl = "stencil"
     if impl == "pallas_gather":
         from .pallas_gather import (
@@ -398,6 +415,16 @@ def moments(
                 mu = moments_gather_packed(b, off, v0p, sk, gl, inv32, order, kc)
                 outs.append(mu[:, : kc - pad] if pad else mu)
             return jnp.concatenate(outs, axis=1)
+        # An explicitly requested gather kernel with no feasible plan (nor
+        # chunk width) must not degrade silently (advisor finding — the
+        # same decline_reason pattern as the auto path and impl='pallas').
+        warnings.warn(
+            f"impl='pallas_gather' cannot be honored (no feasible gather "
+            f"plan for K={K} on this skeleton); falling back to the XLA "
+            "stencil/gather path (~100× slower per SpMM)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         impl = "stencil"
     inv = jnp.asarray(1.0 / scale, dtype=jnp.real(jnp.zeros((), data.dtype)).dtype)
     if impl == "pallas_unfused":

@@ -553,6 +553,51 @@ def plane_packed_insert_swave(b_packed, delta_real, sk: Skeleton):
     return b.reshape(Lx, 2 * S * BLOCK * BLOCK, P)
 
 
+def plane_packed_insert_bond(b_packed, m, sk: Skeleton, struct):
+    """Insert a REAL bond-singlet pairing field into a plane-packed
+    operator ``[Lx, 2·S·16, P]`` — complex-free and traceable.
+
+    Generalizes :func:`plane_packed_insert_swave` to *every* slot:
+    ``m: [N, S]`` (real, traced) holds the pairing amplitude per
+    (row, slot) — zero for slots the field does not touch — and
+    ``struct: [S, 2, 2]`` (host complex constants) the per-slot singlet
+    structure, e.g. ±jσ2 for the d_{x²−y²} form factor.  The Hermitian
+    partner blocks use struct[trans_slot[s]]† so the inserted operator is
+    exactly Hermitian for any symmetric ``m``.  All pairing sub-block
+    positions are (over)written.  Differentiable in ``m``; the traced
+    graph stays real, which is what lets d-wave gap equations run on TPU
+    backends without complex support.
+    """
+    Lx, Ly, Lz = sk.shape
+    M = Ly * Lz
+    S = sk.n_slots
+    P = b_packed.shape[-1]
+    struct = np.asarray(struct, np.complex128)
+    structH = np.conj(np.swapaxes(struct[np.asarray(sk.trans_slot)], -1, -2))
+
+    mm = jnp.moveaxis(jnp.reshape(m.astype(jnp.float32), (Lx, M, S)), 1, -1)
+    if P > M:
+        mm = jnp.pad(mm, ((0, 0), (0, 0), (0, P - M)))  # [Lx, S, P]
+    b = b_packed.reshape(Lx, 2, S, BLOCK, BLOCK, P)
+    for s in range(S):
+        ms = mm[:, s]
+        for a in range(2):
+            for cb in range(2):
+                b = b.at[:, 0, s, a, 2 + cb].set(
+                    (ms * float(struct[s, a, cb].real)).astype(b.dtype)
+                )
+                b = b.at[:, 1, s, a, 2 + cb].set(
+                    (ms * float(struct[s, a, cb].imag)).astype(b.dtype)
+                )
+                b = b.at[:, 0, s, 2 + a, cb].set(
+                    (ms * float(structH[s, a, cb].real)).astype(b.dtype)
+                )
+                b = b.at[:, 1, s, 2 + a, cb].set(
+                    (ms * float(structH[s, a, cb].imag)).astype(b.dtype)
+                )
+    return b.reshape(Lx, 2 * S * BLOCK * BLOCK, P)
+
+
 def _pack_vector_planes(v, sk: Skeleton, lo: Layout):
     """Operand ``[N, 4, K]`` complex → packed ``[Lx, 4·2·K, P]`` float32.
 

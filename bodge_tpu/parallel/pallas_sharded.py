@@ -67,13 +67,14 @@ from ..ops.pallas_spmm import (
     plane_spmm_halo_ad,
     unpack_vector,
 )
-from .sharded import AXIS, RowSharding
+from .sharded import AXIS, PROBE_AXIS, RowSharding
 
 
 def _require_plane_shardable(rs: RowSharding, K: int):
     if rs.has_probe_axis:
         raise ValueError(
-            "The Pallas sharded path partitions rows only; use a rows-only mesh"
+            "This Pallas sharded entry point partitions rows only; "
+            "rows×probes meshes are supported by moments_sharded_pallas"
         )
     lo = plane_layout(rs.sk, K)
     if lo is None:
@@ -268,13 +269,11 @@ def _remat_chunk_for(order: int, remat) -> int:
     return int(remat)
 
 
-@partial(jax.jit, static_argnames=("rs", "order", "K", "overlap", "remat_chunk"))
-def _moments_pallas_sharded_jit(rs: RowSharding, b_sh, v0_sh, inv, order: int,
-                                K: int, overlap: bool = False,
-                                remat_chunk: int = 0):
-    sk, n = rs.sk, rs.n_shards
-    Lxl = sk.shape[0] // n
-
+def _build_local_moments(sk: Skeleton, K: int, Lxl: int, n: int,
+                         order: int, overlap: bool, remat_chunk: int):
+    """Per-device moment-scan closure ``(b_l, v_l, inv_l) → μ[order, K]``
+    (psum over the row axis inside) — shared by the rows-only and
+    rows×probes shard_maps."""
     step_fn = _make_local_cheb_step(sk, K, Lxl, n, overlap)
 
     def local(b_l, v_l, inv_l):
@@ -323,11 +322,49 @@ def _moments_pallas_sharded_jit(rs: RowSharding, b_sh, v0_sh, inv, order: int,
         rest = jnp.stack([alphas, betas], axis=1).reshape(2 * steps, K)
         return jnp.concatenate([mu0[None], mu1[None], rest], axis=0)[:order]
 
+    return local
+
+
+@partial(jax.jit, static_argnames=("rs", "order", "K", "overlap", "remat_chunk"))
+def _moments_pallas_sharded_jit(rs: RowSharding, b_sh, v0_sh, inv, order: int,
+                                K: int, overlap: bool = False,
+                                remat_chunk: int = 0):
+    sk, n = rs.sk, rs.n_shards
+    Lxl = sk.shape[0] // n
+    local = _build_local_moments(sk, K, Lxl, n, order, overlap, remat_chunk)
     fn = jax.shard_map(
         local, mesh=rs.mesh, in_specs=(P(AXIS), P(AXIS), P()), out_specs=P(),
         check_vma=False,
     )
     return fn(b_sh, v0_sh, jnp.asarray(inv, jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("rs", "order", "K", "overlap", "remat_chunk"))
+def _moments_pallas_sharded2d_jit(rs: RowSharding, b_sh, v_blk, inv, order: int,
+                                  K: int, overlap: bool = False,
+                                  remat_chunk: int = 0):
+    """Rows×probes mesh: probe-column chunks ride the second mesh axis.
+
+    ``v_blk: [probe_shards, Lx, 8K, P]`` sharded ``P(PROBE_AXIS, AXIS)``;
+    the operator is replicated over probes.  Each probe shard runs the
+    identical row-sharded kernel sweep on its K-column chunk (probe
+    chunks are independent, so the only collective along PROBE_AXIS is
+    the output concatenation)."""
+    sk, n = rs.sk, rs.n_shards
+    Lxl = sk.shape[0] // n
+    local = _build_local_moments(sk, K, Lxl, n, order, overlap, remat_chunk)
+
+    def local2(b_l, v_l, inv_l):
+        return local(b_l, v_l[0], inv_l)[:, None, :]  # [order, 1, K]
+
+    fn = jax.shard_map(
+        local2, mesh=rs.mesh,
+        in_specs=(P(AXIS), P(PROBE_AXIS, AXIS), P()),
+        out_specs=P(None, PROBE_AXIS),
+        check_vma=False,
+    )
+    mu = fn(b_sh, v_blk, jnp.asarray(inv, jnp.float32))  # [order, ps, K]
+    return mu.reshape(order, -1)
 
 
 def moments_sharded_pallas(rs: RowSharding, data, v0, order: int, scale: float,
@@ -342,6 +379,41 @@ def moments_sharded_pallas(rs: RowSharding, data, v0, order: int, scale: float,
     checkpointing chunk ("auto" = √steps at order ≥ 64 — keeps gradient
     memory O(√order) instead of O(order) vector copies; bit-identical).
     """
+    ov = _resolve_overlap(overlap, rs.sk.shape[0] // rs.n_shards)
+    if rs.has_probe_axis:
+        # Rows×probes mesh: probe-column chunks are data-parallel over the
+        # second axis; each chunk is packed at its own width and the
+        # operator is packed once, replicated over probes.
+        if _is_packed_operator(data) or _is_packed_vector(v0):
+            raise ValueError(
+                "rows×probes mesh: pass host complex data and v0 "
+                "(per-chunk packing happens internally)"
+            )
+        ps = int(dict(zip(rs.mesh.axis_names, rs.mesh.devices.shape))[PROBE_AXIS])
+        K = int(v0.shape[-1])
+        if K % ps:
+            raise ValueError(
+                f"probe count K={K} must divide evenly over {ps} probe shards"
+            )
+        Kl = K // ps
+        lo = plane_layout(rs.sk, Kl)
+        if lo is None:
+            raise ValueError(
+                f"Pallas sharded path: per-shard probe count {Kl} has no "
+                f"feasible plane layout for lattice shape {tuple(rs.sk.shape)}"
+            )
+        b = pack_operator(np.asarray(data), rs.sk, K=Kl, layout=lo)
+        b_sh = jax.device_put(b, NamedSharding(rs.mesh, P(AXIS)))
+        v0h = np.asarray(v0)
+        chunks = np.stack([
+            np.asarray(pack_vector(v0h[..., i * Kl : (i + 1) * Kl], rs.sk, layout=lo))
+            for i in range(ps)
+        ])
+        v_sh = jax.device_put(chunks, NamedSharding(rs.mesh, P(PROBE_AXIS, AXIS)))
+        return _moments_pallas_sharded2d_jit(
+            rs, b_sh, v_sh, 1.0 / scale, order, Kl, ov,
+            _remat_chunk_for(order, remat),
+        )
     if _is_packed_operator(data):
         b_sh = data
     else:
@@ -352,7 +424,6 @@ def moments_sharded_pallas(rs: RowSharding, data, v0, order: int, scale: float,
     else:
         K = int(v0.shape[-1])
         v_sh = pack_vector_sharded(rs, v0)
-    ov = _resolve_overlap(overlap, rs.sk.shape[0] // rs.n_shards)
     return _moments_pallas_sharded_jit(
         rs, b_sh, v_sh, 1.0 / scale, order, K, ov, _remat_chunk_for(order, remat)
     )
@@ -456,6 +527,17 @@ def ldos_kpm_sharded_pallas(
     for chunk_sites in (8, 4, 2, 1):
         if plane_layout(rs.sk, BLOCK * chunk_sites) is not None:
             break
+    else:
+        chunk_sites = 0
+    if chunk_sites == 0 or plane_layout(rs.sk, BLOCK * chunk_sites) is None:
+        # Even one site (K=4) blows the plane kernel's VMEM budget — say
+        # so instead of letting the downstream sweep raise a generic
+        # lattice-shape error (advisor finding).
+        raise ValueError(
+            f"ldos_kpm_sharded_pallas declined: even a single-site probe "
+            f"chunk (K=4) exceeds the plane kernel's VMEM working-set cap "
+            f"for lattice shape {tuple(rs.sk.shape)}"
+        )
     # Pack the operator once for all chunks (advisor finding: packing +
     # device_put per 8-site chunk made large maps pay a full host pack and
     # transfer per 32 probe columns).

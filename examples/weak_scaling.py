@@ -111,7 +111,21 @@ def main():
                 out = chebyshev_scan_sharded(rs, b_sh, v_sh, inv, args.order, 4)
                 return float(jnp.sum(out))  # full reduction: sync + sharding-safe
 
+            # Decomposition run (round-4 verdict item 4): the IDENTICAL
+            # global problem on a 1-device mesh — same kernels, same launch
+            # structure, identity ppermute — isolates pure (interpret-mode)
+            # kernel compute from genuine multi-device sharding overhead.
+            mesh1 = make_row_mesh(1)
+            rs1 = RowSharding(system.skeleton, mesh1)
+            b_1 = pack_operator_sharded(rs1, system.host_data())
+            v_1 = pack_vector_sharded(rs1, v0)
+
+            def run_compute_only():
+                out = chebyshev_scan_sharded(rs1, b_1, v_1, inv, args.order, 4)
+                return float(jnp.sum(out))
+
         else:
+            run_compute_only = None
             data = rs.shard_data(system.data)
 
             def run():
@@ -129,9 +143,24 @@ def main():
             t0 = time.perf_counter()
             F = run()
             dt = min(dt, time.perf_counter() - t0)
-        results.append({"devices": p, "sites": system.lattice.size, "time_s": dt,
-                        "F": F, "timing": f"min of {args.reps} after warmup"})
-        print(f"P={p:3d}  sites={system.lattice.size:9d}  t={dt:8.4f}s  F={F:.2f}")
+        entry = {"devices": p, "sites": system.lattice.size, "time_s": dt,
+                 "F": F, "timing": f"min of {args.reps} after warmup"}
+        if args.pallas and run_compute_only is not None:
+            F1 = run_compute_only()  # compile + warmup
+            dt1 = float("inf")
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                F1 = run_compute_only()
+                dt1 = min(dt1, time.perf_counter() - t0)
+            assert abs(F1 - F) < 1e-3 * max(1.0, abs(F)), (F1, F)
+            entry["compute_only_time_s"] = dt1
+            entry["sharding_overhead_s"] = dt - dt1
+            entry["sharding_overhead_fraction"] = max(0.0, (dt - dt1) / dt)
+        results.append(entry)
+        print(f"P={p:3d}  sites={system.lattice.size:9d}  t={dt:8.4f}s  F={F:.2f}"
+              + (f"  compute-only={entry['compute_only_time_s']:.4f}s "
+                 f"(sharding {100*entry['sharding_overhead_fraction']:.1f}%)"
+                 if "compute_only_time_s" in entry else ""))
 
     t1 = results[0]["time_s"]
     shared_host = jax.devices()[0].platform == "cpu"
@@ -159,6 +188,15 @@ def main():
             if t2 is not None and r["devices"] >= 2:
                 r["marginal_efficiency_vs_p2"] = (
                     t2 * r["devices"] / 2 / r["time_s"]
+                )
+            if "compute_only_time_s" in r and "compute_only_time_s" in results[0]:
+                # Same normalization applied to the 1-device-mesh runs of
+                # the identical global problems: if THIS column degrades
+                # like end-to-end, the loss is interpret-kernel workload
+                # scaling on shared cores, not the sharding machinery.
+                t1c = results[0]["compute_only_time_s"]
+                r["compute_only_throughput_efficiency"] = (
+                    t1c * r["devices"] / r["compute_only_time_s"]
                 )
         else:
             r["normalization"] = "constant wall-clock (dedicated devices)"

@@ -497,3 +497,35 @@ def test_remat_moments_and_grad_match_unchunked():
     g_plain = np.asarray(jax.jit(jax.grad(lambda b: loss(b, False)))(b_sh))
     g_remat = np.asarray(jax.jit(jax.grad(lambda b: loss(b, "auto")))(b_sh))
     np.testing.assert_allclose(g_remat, g_plain, atol=1e-6)
+
+
+def test_moments_2d_rows_probes_mesh_matches_stencil():
+    """Rows×probes mesh: probe chunks ride the second mesh axis; moments
+    must equal the single-device stencil scan exactly (packing is a
+    permutation and chunks are independent columns)."""
+    import jax
+    from jax.sharding import AxisType
+
+    from bodge_tpu.ops import chebyshev as kpm
+    from bodge_tpu.parallel.sharded import AXIS, PROBE_AXIS, RowSharding, make_row_mesh
+
+    lattice, system = build_system((8, 4, 1))
+    sk = system.skeleton
+    mesh2 = make_row_mesh(8, probe_shards=2)
+    rs = RowSharding(sk, mesh2)
+    assert rs.has_probe_axis
+
+    rng = np.random.default_rng(5)
+    K = 8
+    v0 = (rng.normal(size=(sk.n_sites, 4, K))
+          + 1j * rng.normal(size=(sk.n_sites, 4, K))).astype(system.dtype)
+    scale = 6.0
+    order = 12
+
+    mu_2d = np.asarray(
+        moments_sharded_pallas(rs, system.host_data(), v0, order, scale)
+    )
+    mu_ref = np.asarray(
+        kpm.moments(system.host_data(), sk, v0, order, scale, impl="stencil")
+    )
+    np.testing.assert_allclose(mu_2d, mu_ref, rtol=2e-4, atol=2e-4)
