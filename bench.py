@@ -532,16 +532,18 @@ def bench_diag_kpm_tpu(L=100, order=4096, samples=8):
     return result
 
 
-def bench_diag_lanczos(sizes=(32, 100), k=8):
+def bench_diag_lanczos(sizes=(32,), k=8):
     """On-device lowest-|ε| eigensolve — the TPU-native diagonalize story.
 
     ``Hamiltonian.diagonalize(method="lanczos", k=…)`` (filtered-subspace
     iteration on the fused Pallas Chebyshev kernel, float64 host
     Rayleigh–Ritz; ``bodge_tpu/ops/lanczos.py``) computes the k smallest
     positive BdG states.  Cross-validated here against the exact banded
-    LAPACK ladder at L=32 (1e-6 gate) and against the offline exact
-    100×100 artifact (``diag_headline.json``: host banded LAPACK,
-    7 732 s) at the headline size.
+    LAPACK ladder at L=32 (1e-6 gate); the 100×100 headline-size solve is
+    minutes of wall-clock (dominated by the 2-core host's float64 dense
+    algebra), so it is recorded offline (``scripts/_diag_lanczos.py`` →
+    ``diag_lanczos.json``) and merged into the section result here —
+    same pattern as the exact ``diag_headline.json``.
     """
     import warnings as _warnings
 
@@ -600,6 +602,24 @@ def bench_diag_lanczos(sizes=(32, 100), k=8):
                         f"{entry['speedup_vs_exact_host']:.0f}× vs exact host")
         out.append(entry)
         _flush_partial(out)
+
+    # Merge the offline headline-size record (measured on this TPU by
+    # scripts/_diag_lanczos.py — too long for the section budget).
+    off_path = os.path.join(REPO_DIR, "diag_lanczos.json")
+    if os.path.exists(off_path):
+        try:
+            with open(off_path) as f:
+                offline = json.load(f)
+            for run in offline.get("runs", []):
+                if run.get("L") not in [e.get("L") for e in out]:
+                    run["measured_offline"] = True
+                    out.append(run)
+                    log(f"[diag:lanczos] merged offline {run['L']}×{run['L']} "
+                        f"record ({run.get('time_s', 0):.0f} s, gap err "
+                        f"{run.get('gap_abs_err_vs_exact')})")
+            _flush_partial(out)
+        except Exception:
+            pass
     return out
 
 

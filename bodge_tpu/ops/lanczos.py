@@ -73,6 +73,7 @@ from .spmm import spmm
 _ORDER_BUCKETS = (
     64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048,
     3072, 4096, 6144, 8192, 12288, 16384, 24576, 32768, 49152, 65536,
+    98304, 131072,
 )
 
 # Chebyshev resolution constant: a degree-M expansion resolves spectral
@@ -352,17 +353,28 @@ def _signed_rayleigh_ritz(hspmm, Q: np.ndarray, W: np.ndarray):
     θ² + ‖r‖² is variationally bounded below by the true squared gap, so
     sorting by ρ² can never promote junk above a genuine low-|ε| state.
 
+    Host-flops layout (the 2-core host is the large-system bottleneck):
+    the augmentation is orthonormalized by CGS(×2)+QR against Q instead
+    of an SVD of [Q, W], and residual norms come from the Gram matrix
+    ‖r_j‖² = (Uᴴ·HCᴴHC·U)_jj − θ_j² instead of a full residual GEMM.
+
     Returns ``(theta, X, rnorm)`` ρ²-sorted (scaled units)."""
-    C_raw = np.concatenate([Q, W], axis=1)
-    Uc, sc, _ = np.linalg.svd(C_raw, full_matrices=False)
-    C = Uc[:, sc > 1e-10 * sc[0]]
+    Wp = W.copy()
+    for _ in range(2):
+        Wp -= Q @ (Q.conj().T @ Wp)
+    Qw, Rw = np.linalg.qr(Wp)
+    dR = np.abs(np.diag(Rw))
+    keep = dR > 1e-10 * max(float(dR.max()), 1e-30)
+    C = np.concatenate([Q, Qw[:, keep]], axis=1)
     HC = hspmm(C)
     T = C.conj().T @ HC
     T = 0.5 * (T + T.conj().T)
+    G2 = HC.conj().T @ HC
+    G2 = 0.5 * (G2 + G2.conj().T)
     th, U = np.linalg.eigh(T)
+    rho2 = np.real(np.einsum("ij,ik,kj->j", U.conj(), G2, U, optimize=True))
+    rn = np.sqrt(np.maximum(rho2 - th**2, 0.0))
     X = C @ U
-    R = HC @ U - X * th[None, :]
-    rn = np.linalg.norm(R, axis=0)
     idx = np.argsort(th**2 + rn**2, kind="stable")
     return th[idx], X[:, idx], rn[idx]
 
@@ -374,7 +386,7 @@ def lowest_eigenstates(
     *,
     tol: float = 2e-8,
     max_iter: int = 20,
-    max_order: int = 32768,
+    max_order: int = 131072,
     block: Optional[int] = None,
     impl: Optional[str] = None,
     operator_dtype=None,
@@ -470,6 +482,7 @@ def lowest_eigenstates(
     theta = X = res = None
     prev_wanted = None
     converged = False
+    stuck = 0  # consecutive rounds at max order AND max block
 
     for it in range(max_iter):
         coeffs = _lowpass_coeffs(lam_c, w_lam, order)
@@ -550,9 +563,24 @@ def lowest_eigenstates(
         # sticks out beyond what the order budget can discriminate; the
         # augmented RR already produced ~2b Ritz vectors, so the
         # next-lowest ones extend the block for free.
+        # Growth is preferred over extreme order escalation: in a van Hove
+        # ladder the block-boundary gap grows ~quadratically with b, so
+        # doubling the block cuts the required order ~4× — cheaper than
+        # 10k+-order sweeps once host RR cost (∝ b²) is weighed in.
         b_new = b
-        if sigma_target < sigma_res and b < b_max and it + 1 < max_iter:
+        grow_at = max(sigma_res, _RES_C / min(max_order, 8192))
+        if sigma_target < grow_at and b < b_max and it + 1 < max_iter:
             b_new = int(min(b_max, max(b + 8, (3 * b // 2 + 7) // 8 * 8)))
+        elif sigma_target < sigma_res and b >= b_max:
+            # Resolution wall: the block boundary sits inside the filter's
+            # discriminable width even at max order and max block — more
+            # rounds cannot improve anything; stop early and report the
+            # honest (unconverged) state instead of burning the budget.
+            stuck += 1
+            if stuck >= 3:
+                break
+        else:
+            stuck = 0
         # A polynomial filter maps span → span: any direction the block
         # ever loses (e.g. an unconverged member of a degenerate multiplet
         # cut by truncation) can never be regenerated from within.  A few

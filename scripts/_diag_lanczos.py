@@ -48,8 +48,10 @@ def run(L, k=8, seed=1, validate_banded=False):
     t0 = time.perf_counter()
     with warnings.catch_warnings(record=True) as wlist:
         warnings.simplefilter("always")
+        # 2k+2: |ε| ties can split the ± signs unevenly (same guard as the
+        # Hamiltonian facade).
         E, X, info = lz.lowest_eigenstates(
-            system.host_data(), system.skeleton, 2 * k,
+            system.host_data(), system.skeleton, 2 * k + 2,
             full_output=True, seed=seed,
         )
     entry["time_s"] = time.perf_counter() - t0
