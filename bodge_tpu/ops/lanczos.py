@@ -339,6 +339,28 @@ def _lowpass_coeffs(lam_c: float, w_lam: float, order: int) -> np.ndarray:
     return c
 
 
+def _select_wanted(theta: np.ndarray, res: np.ndarray, nev: int):
+    """Wanted-state selection from a ρ²-sorted signed RR output.
+
+    Ranking ρ² alone is residual-inflated (it demotes a not-yet-converged
+    member of a lower level below converged higher ones); ranking |θ|
+    alone is mixture-unsafe.  "Genuine" must be judged RELATIVE to the
+    pair's folded magnitude ρ = √(θ²+‖r‖²): a partially sign-mixed pair
+    has ⟨H̃⟩ pulled toward zero and ‖r‖ ≈ ρ, so it would both pass any
+    loose absolute threshold *and* win the |θ| sort over the true gap
+    states (the round-5 L=100 failure mode: mixtures at θ=0.391 with
+    ‖r‖=0.049 beat the true 0.39999 gap).  Rank genuine pairs
+    (res < 0.3ρ, or absolutely small for zero modes) by |θ|; fall back
+    to ρ² order until enough pairs are distinguishable."""
+    rho = np.sqrt(theta**2 + res**2)
+    genuine = np.where((res < 0.3 * rho) | (res < 1e-3))[0]
+    if len(genuine) >= nev:
+        sel = genuine[np.argsort(np.abs(theta[genuine]), kind="stable")]
+    else:
+        sel = np.arange(len(theta))
+    return genuine, sel[:nev]
+
+
 def _signed_rayleigh_ritz(hspmm, Q: np.ndarray, W: np.ndarray):
     """Exact signed Rayleigh–Ritz on span{Q, H̃Q}.
 
@@ -387,7 +409,9 @@ def lowest_eigenstates(
     tol: float = 2e-8,
     max_iter: int = 20,
     max_order: int = 131072,
+    polish: int = 1,
     block: Optional[int] = None,
+    max_block: Optional[int] = None,
     impl: Optional[str] = None,
     operator_dtype=None,
     scale: Optional[float] = None,
@@ -425,7 +449,10 @@ def lowest_eigenstates(
     b = min(b, dim)
     # Ceiling for adaptive block growth (dense-cluster handling); the
     # host-side dense algebra is O(dim·b²), so the cap keeps it bounded.
-    b_max = min(dim // 4, max(8 * nev, 128))
+    # Pass max_block to raise it when a near-degenerate window is wider
+    # than 8·nev states (e.g. the clean 100×100 gap edge: ~130 states
+    # within the max-order filter resolution).
+    b_max = max_block or min(dim // 4, max(8 * nev, 128))
 
     if _is_planar(data):
         raise ValueError(
@@ -502,23 +529,7 @@ def lowest_eigenstates(
         x_buf = float(np.sqrt(max(lam[-1], 0.0)))
 
         theta, X, res = _signed_rayleigh_ritz(hspmm, Q, W)
-        # Final ranking: ρ² ordering is junk-safe but residual-inflated —
-        # it can demote a not-yet-converged member of a *lower* level
-        # below converged members of higher ones.  Once pairs are
-        # distinguishable as genuine, rank the genuine ones by |θ|; fall
-        # back to ρ² order otherwise.  "Genuine" must be judged RELATIVE
-        # to the pair's folded magnitude ρ = √(θ²+‖r‖²): a partially
-        # sign-mixed pair has ⟨H̃⟩ pulled toward zero and ‖r‖ ≈ ρ, so it
-        # would both pass any loose absolute threshold *and* win the |θ|
-        # sort over the true gap states (the round-5 L=100 failure mode:
-        # mixtures at θ=0.391 with ‖r‖=0.049 beat the true 0.39999 gap).
-        rho = np.sqrt(theta**2 + res**2)
-        genuine = np.where((res < 0.3 * rho) | (res < 1e-3))[0]
-        if len(genuine) >= nev:
-            sel = genuine[np.argsort(np.abs(theta[genuine]), kind="stable")]
-        else:
-            sel = np.arange(len(theta))
-        wanted_idx = sel[:nev]
+        genuine, wanted_idx = _select_wanted(theta, res, nev)
         wanted = np.sort(theta[wanted_idx])
         wanted_res = res[wanted_idx].max()
         history.append((sigma_x, order, float(wanted_res), float(x_edge), b))
@@ -594,6 +605,21 @@ def lowest_eigenstates(
         V = np.concatenate([X[:, :keep], extra], axis=1)
         b = b_new
         V = V.reshape(N, BLOCK, b)
+
+    # Final exact polish: Krylov-augmented f64 RR rounds on the (now
+    # junk-clean) subspace.  The filter's f32 noise floors the block
+    # accuracy at ~√order·1e-7 (3.6e-5 at order 131k), and the main
+    # loop's RR squeezes the eigenvalue error to ~res²/gap_eff — observed
+    # 3.1e-6 at the 100×100 headline, just above the 1e-6 parity gate.
+    # Each polish round re-expands with exact H̃ images and re-solves,
+    # gaining another res factor.  The FULL current subspace is kept
+    # (capped) — truncating to a wanted neighborhood can drop a member of
+    # a near-degenerate multiplet whose vector then cannot be recovered.
+    for _ in range(polish):
+        q = min(X.shape[1], 768)
+        Yp, _ = np.linalg.qr(X[:, :q])
+        theta, X, res = _signed_rayleigh_ritz(hspmm, Yp, hspmm(Yp))
+        genuine, wanted_idx = _select_wanted(theta, res, nev)
 
     E, Xw, res_w = (
         theta[wanted_idx] * scale,

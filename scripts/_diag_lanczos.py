@@ -49,10 +49,14 @@ def run(L, k=8, seed=1, validate_banded=False):
     with warnings.catch_warnings(record=True) as wlist:
         warnings.simplefilter("always")
         # 2k+2: |ε| ties can split the ± signs unevenly (same guard as the
-        # Hamiltonian facade).
+        # Hamiltonian facade).  max_block: the clean gap edge at L=100
+        # piles ~130 near-degenerate states inside the max-order filter
+        # resolution — the block must cover the window for the exact RR
+        # to resolve the lowest members to 1e-6.
         E, X, info = lz.lowest_eigenstates(
             system.host_data(), system.skeleton, 2 * k + 2,
             full_output=True, seed=seed,
+            max_block=256 if L >= 64 else None,
         )
     entry["time_s"] = time.perf_counter() - t0
     entry["impl"] = info["impl"]

@@ -75,12 +75,13 @@ def _ensure_demo_names(ns):
     system = ns.get("system")
     if system is not None:
         N = system.lattice.size
+        dt = system.dtype
         if "v" not in ns:
-            ns["v"] = np.ones((N, 4, 2), np.complex64)
+            ns["v"] = np.ones((N, 4, 2), dt)
         if "v0" not in ns:
-            ns["v0"] = np.ones((N, 4, 4), np.complex64)
+            ns["v0"] = np.ones((N, 4, 4), dt)
         if "delta" not in ns:
-            ns["delta"] = np.full((N,), 0.1, np.complex64)
+            ns["delta"] = np.full((N,), 0.1, dt)
     rs = ns.get("rs")
     if rs is not None and "v_sh" not in ns:
         from bodge_tpu.parallel.pallas_sharded import (
