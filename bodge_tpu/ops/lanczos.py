@@ -386,8 +386,20 @@ def _signed_rayleigh_ritz(hspmm, Q: np.ndarray, W: np.ndarray):
         Wp -= Q @ (Q.conj().T @ Wp)
     Qw, Rw = np.linalg.qr(Wp)
     dR = np.abs(np.diag(Rw))
-    keep = dR > 1e-10 * max(float(dR.max()), 1e-30)
-    C = np.concatenate([Q, Qw[:, keep]], axis=1)
+    # ABSOLUTE cutoff (H̃-scaled units, ‖W‖ ≤ 1): a near-dependent column
+    # whose QR remainder is ~1e-13 amplifies its 1e-15-level Q-leakage to
+    # 1e-2 when normalized — one such column destroyed C's orthonormality
+    # at 5e-3 and degraded EVERY Ritz pair of a converged basis.  Columns
+    # below 1e-8 carry no usable augmentation direction (the useful ones
+    # are residual directions, norm ≈ the Ritz residual).
+    keep = dR > 1e-8
+    Qw = Qw[:, keep]
+    if Qw.shape[1]:
+        # Kept near-threshold directions still leak O(1e-7·√m); one more
+        # projection sweep + re-QR pushes C's orthonormality to ~1e-12.
+        Qw -= Q @ (Q.conj().T @ Qw)
+        Qw, _ = np.linalg.qr(Qw)
+    C = np.concatenate([Q, Qw], axis=1)
     HC = hspmm(C)
     T = C.conj().T @ HC
     T = 0.5 * (T + T.conj().T)
@@ -553,10 +565,13 @@ def lowest_eigenstates(
         # --- adapt the filter --------------------------------------------
         # The filter's only job is to suppress weight ABOVE the block's
         # own boundary (everything below is resolved exactly by the RR),
-        # so the sharpness target is the b-boundary gap: f(x_buf)/f(x_edge)
-        # ≈ 0.1 per application needs an edge width σ ≈ (x_buf−x_edge)/1.5.
+        # so the sharpness target is the b-boundary gap.  σ = gap/3 gives
+        # ~1e-4 suppression per application at the buffer edge — measured
+        # necessary: a lazier 10×/pass target (gap/1.5) converged the
+        # 100×100 window at only ~1.3×/iteration because refresh columns
+        # and intra-window shuffling re-inject weight every round.
         sigma_res = max(_RES_C / max_order, _RES_C / (4.0 * dim))
-        sigma_target = max((x_buf - x_edge) / 1.52, 1e-12)
+        sigma_target = max((x_buf - x_edge) / 3.0, 1e-12)
         sigma_x = float(np.clip(sigma_target, sigma_res, 0.5))
         order = _bucket_order(int(np.ceil(_RES_C / sigma_x)))
         sigma_x = max(sigma_x, _RES_C / order / 4.0)
