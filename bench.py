@@ -572,6 +572,17 @@ def bench_diag_lanczos(sizes=(32,), k=8):
         log(f"[diag:lanczos] {L}×{L}: {entry['time_s']:.1f} s "
             f"({info['iterations']} sweeps, impl={info['impl']}, "
             f"gap {entry['gap']})")
+        # Exact f64 reference: host shift-invert ARPACK at σ=0 (seconds).
+        t0 = time.perf_counter()
+        E_si = system.eigenvalues(method="shift_invert", k=k)
+        entry["shift_invert_host_s"] = time.perf_counter() - t0
+        m = min(len(Epos), len(E_si))
+        entry["max_abs_err_vs_shift_invert_f64"] = float(
+            np.abs(Epos[:m] - E_si[:m]).max()
+        )
+        log(f"[diag:lanczos] {L}×{L}: max |ΔE| vs f64 shift-invert ladder "
+            f"{entry['max_abs_err_vs_shift_invert_f64']:.2e} "
+            f"(shift-invert itself: {entry['shift_invert_host_s']:.1f} s)")
         if L <= 48:
             from bodge_tpu.ops import banded as banded_ops
 

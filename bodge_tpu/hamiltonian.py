@@ -621,6 +621,26 @@ class Hamiltonian:
     # ------------------------------------------------------------------
     # Solvers
     # ------------------------------------------------------------------
+    def _shift_invert(self, nev: int, sigma: float = 0.0, tol: float = 0.0):
+        """The ``nev`` eigenpairs nearest ``sigma`` via host shift-invert
+        ARPACK (SuperLU factorization of A − σI in complex128).
+
+        σ=0 targets the lowest-|ε| BdG states directly — exact and
+        extremely fast for open systems whose band fits a sparse LU
+        (~3 s at the 40 000² 100×100 case).  Factorization fill grows
+        with bandwidth (∝ L in 2D, ∝ L² in 3D), so beyond medium sizes
+        use the device-side ``method="lanczos"`` path, which needs no
+        factorization at all.  No TPU analog exists (no sparse LU on
+        accelerator — SURVEY §3.5); this is deliberately a host tier.
+        """
+        import scipy.sparse.linalg as spla
+
+        A = self.matrix("csr").astype(np.complex128)
+        E, X = spla.eigsh(A, k=min(nev, A.shape[0] - 1), sigma=float(sigma),
+                          which="LM", tol=tol)
+        order = np.argsort(E, kind="stable")
+        return E[order], X[:, order]
+
     def _full_spectrum(self):
         """Full (E, X) eigendecomposition, cached per Hamiltonian version.
 
@@ -684,24 +704,34 @@ class Hamiltonian:
         reference's ``subset_by_value=(0, ∞)`` semantics
         (``bodge/hamiltonian.py:229``) restricted to the bottom of the
         positive spectrum.
+
+        ``method="shift_invert"`` computes the same k states by host
+        ARPACK with a SuperLU factorization of A − σI (``sigma=0``
+        default) — exact and seconds-fast while the sparse LU fits
+        (bandwidth ∝ L in 2D); the device ``"lanczos"`` path takes over
+        beyond that.
         """
         if cuda:
             raise RuntimeError(
                 "The `cuda` flag is not applicable: this build runs on TPU/CPU via JAX."
             )
-        if method == "lanczos":
-            from .ops import lanczos as lanczos_ops
-
+        if method in ("lanczos", "shift_invert"):
             if k is None:
                 raise ValueError(
-                    "diagonalize(method='lanczos') needs k = number of "
+                    f"diagonalize(method='{method}') needs k = number of "
                     "positive eigenpairs to compute"
                 )
-            # 2k+2: |ε| ties can split the ± signs unevenly, so a strict
-            # 2k request occasionally yields only k−1 positive states.
-            E_all, X_all = lanczos_ops.lowest_eigenstates(
-                self.host_data(), self._sk, 2 * k + 2, **solver_kwargs
-            )
+            if method == "lanczos":
+                from .ops import lanczos as lanczos_ops
+
+                # 2k+2: |ε| ties can split the ± signs unevenly, so a
+                # strict 2k request occasionally yields only k−1 positive
+                # states.
+                E_all, X_all = lanczos_ops.lowest_eigenstates(
+                    self.host_data(), self._sk, 2 * k + 2, **solver_kwargs
+                )
+            else:
+                E_all, X_all = self._shift_invert(2 * k + 2, **solver_kwargs)
             pos = E_all > 0
             eigval = np.asarray(E_all[pos])[:k]
             eigvec = np.asarray(X_all[:, pos])[:, :k]
@@ -751,20 +781,24 @@ class Hamiltonian:
 
         ``method="lanczos"`` returns only the ``k`` smallest positive
         eigenvalues via the device-side filtered subspace iteration
-        (:mod:`bodge_tpu.ops.lanczos`) — seconds on-chip where the exact
-        full-spectrum paths take minutes to hours.
+        (:mod:`bodge_tpu.ops.lanczos`); ``method="shift_invert"`` the
+        same via host ARPACK + SuperLU (exact, fastest while the sparse
+        LU fits).
         """
-        if method == "lanczos":
-            from .ops import lanczos as lanczos_ops
-
+        if method in ("lanczos", "shift_invert"):
             if k is None:
                 raise ValueError(
-                    "eigenvalues(method='lanczos') needs k = number of "
+                    f"eigenvalues(method='{method}') needs k = number of "
                     "positive eigenvalues to compute"
                 )
-            E_all, _ = lanczos_ops.lowest_eigenstates(
-                self.host_data(), self._sk, 2 * k + 2, **solver_kwargs
-            )
+            if method == "lanczos":
+                from .ops import lanczos as lanczos_ops
+
+                E_all, _ = lanczos_ops.lowest_eigenstates(
+                    self.host_data(), self._sk, 2 * k + 2, **solver_kwargs
+                )
+            else:
+                E_all, _ = self._shift_invert(2 * k + 2, **solver_kwargs)
             return np.asarray(E_all[E_all > 0])[:k]
         if solver_kwargs or k is not None:
             raise TypeError(

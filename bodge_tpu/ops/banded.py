@@ -137,6 +137,14 @@ def _solve_banded(
     reorder: bool,
 ):
     data = np.asarray(data)
+    if data.dtype != np.complex128:
+        # ALWAYS solve in double precision: with complex64 block data the
+        # band inherited the dtype and LAPACK silently ran single-precision
+        # chbevd — measured 3.1e-6 eigenvalue error at dim 40 000 on the
+        # 100×100 headline (caught when the TPU iterative solver and an
+        # f64 shift-invert cross-check agreed against it).  The upcast is
+        # O(nnz) and the z-driver ~2× the c-driver — correctness first.
+        data = data.astype(np.complex128)
     mask = nonzero_block_mask(data, sk)
     if reorder:
         rank, bwb = block_permutation(sk, mask)

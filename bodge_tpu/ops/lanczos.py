@@ -521,7 +521,8 @@ def lowest_eigenstates(
     theta = X = res = None
     prev_wanted = None
     converged = False
-    stuck = 0  # consecutive rounds at max order AND max block
+    stuck = 0  # consecutive stagnant rounds at max order AND max block
+    prev_res = None
 
     for it in range(max_iter):
         coeffs = _lowpass_coeffs(lam_c, w_lam, order)
@@ -597,16 +598,24 @@ def lowest_eigenstates(
         grow_at = max(sigma_res, _RES_C / min(max_order, 8192))
         if sigma_target < grow_at and b < b_max and it + 1 < max_iter:
             b_new = int(min(b_max, max(b + 8, (3 * b // 2 + 7) // 8 * 8)))
-        elif sigma_target < sigma_res and b >= b_max:
+        elif (
+            sigma_target < sigma_res
+            and b >= b_max
+            and prev_res is not None
+            and wanted_res > 0.7 * prev_res
+        ):
             # Resolution wall: the block boundary sits inside the filter's
-            # discriminable width even at max order and max block — more
-            # rounds cannot improve anything; stop early and report the
-            # honest (unconverged) state instead of burning the budget.
+            # discriminable width at max order and max block AND the
+            # residual has stopped improving — more rounds cannot help;
+            # stop early and report the honest state instead of burning
+            # the budget.  (A nominally resolution-capped filter can still
+            # converge at ~0.4×/pass — only stagnation proves the wall.)
             stuck += 1
             if stuck >= 3:
                 break
         else:
             stuck = 0
+        prev_res = wanted_res
         # A polynomial filter maps span → span: any direction the block
         # ever loses (e.g. an unconverged member of a degenerate multiplet
         # cut by truncation) can never be regenerated from within.  A few

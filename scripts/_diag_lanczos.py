@@ -72,6 +72,20 @@ def run(L, k=8, seed=1, validate_banded=False):
     entry["gap"] = float(Epos[0]) if len(Epos) else None
     entry["warnings"] = [str(w.message)[:160] for w in wlist]
 
+    # Exact f64 reference at every size: host shift-invert ARPACK at σ=0
+    # (SuperLU factorization, complex128).  Seconds even at L=100; this —
+    # not the offline chbevd artifact — is the trusted ladder (the
+    # single-precision banded run carries ~3e-6 error at dim 40 000).
+    t0 = time.perf_counter()
+    E_si = system.eigenvalues(method="shift_invert", k=k)
+    entry["shift_invert_host_s"] = time.perf_counter() - t0
+    entry["shift_invert_E_positive"] = [float(x) for x in E_si]
+    m = min(len(Epos), len(E_si))
+    entry["n_compared"] = m
+    entry["max_abs_err_vs_shift_invert_f64"] = float(
+        np.abs(Epos[:m] - E_si[:m]).max()
+    )
+
     if validate_banded:
         from bodge_tpu.ops import banded as banded_ops
 
@@ -81,17 +95,21 @@ def run(L, k=8, seed=1, validate_banded=False):
         ref = np.sort(Eb[Eb > 0])[:k]
         entry["banded_E_positive"] = [float(x) for x in ref]
         m = min(len(Epos), len(ref))
-        entry["n_compared"] = m
         entry["max_abs_err_vs_banded"] = float(np.abs(Epos[:m] - ref[:m]).max())
 
     head_path = os.path.join(REPO, "diag_headline.json")
     if L == 100 and os.path.exists(head_path):
         with open(head_path) as f:
             head = json.load(f)
-        entry["exact_gap_offline"] = head.get("gap")
+        entry["exact_gap_offline_chbevd_f32"] = head.get("gap_chbevd_f32")
         entry["exact_time_offline_s"] = head.get("eigvalsh_s")
-        if entry["gap"] is not None and head.get("gap"):
-            entry["gap_abs_err_vs_exact"] = abs(entry["gap"] - head["gap"])
+        entry["offline_note"] = (
+            "the offline banded run used single-precision chbevd (band "
+            "inherited complex64) and its gap carries ~3e-6 error; the "
+            "f64 shift-invert ladder above is the trusted reference"
+        )
+        if entry["gap"] is not None and head.get("eigvalsh_s"):
+            entry["gap_abs_err_vs_exact"] = entry["max_abs_err_vs_shift_invert_f64"]
             entry["speedup_vs_exact_host"] = head["eigvalsh_s"] / entry["time_s"]
     return entry
 

@@ -152,3 +152,21 @@ def test_magnetic_field_breaks_degeneracy():
     want, _ = _lowest_ref(sys, 6)
     E, _ = lz.lowest_eigenstates(sys.host_data(), sys.skeleton, 6, seed=6)
     np.testing.assert_allclose(E, want, atol=1e-6, rtol=0)
+
+
+def test_shift_invert_matches_dense():
+    """Host shift-invert ARPACK (σ=0, SuperLU, complex128) reproduces the
+    dense lowest positive states exactly — the fast exact host tier that
+    complements the device-side method='lanczos'."""
+    sys = _swave_system((14, 14, 1), delta=0.25, pot=0.06)
+    E_ref, _ = sys.diagonalize(method="dense")
+    E_si = sys.eigenvalues(method="shift_invert", k=5)
+    np.testing.assert_allclose(E_si, E_ref[:5], atol=1e-9, rtol=0)
+    E2, X2 = sys.diagonalize(method="shift_invert", k=4)
+    np.testing.assert_allclose(E2, E_ref[:4], atol=1e-9, rtol=0)
+    assert X2.shape == (4, sys.lattice.size, 4)
+    # Residuals of the reshaped eigenvectors against the dense matrix.
+    dense = sys.matrix("dense")
+    Xcols = X2.reshape(4, -1).T
+    R = dense @ Xcols - Xcols * E2[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-8
