@@ -69,6 +69,33 @@ def bond_structure_dwave(sk: Skeleton) -> np.ndarray:
     return struct
 
 
+def bond_structure_pwave(sk: Skeleton, dvector: str = "e_z * p_x") -> np.ndarray:
+    """Per-slot triplet structure ``[S, 2, 2]`` of a p-wave order
+    parameter on the cubic stencil, from the same d-vector grammar as
+    :func:`bodge_tpu.models.pwave` (reference ``bodge/hamiltonian.py:409-459``).
+
+    The slot structure is odd under bond reversal — struct(+δ) = −struct(−δ)
+    — which carries the triplet antisymmetry Δ(i→j) = −Δ(j→i); the bond
+    amplitude from :func:`bond_field` stays symmetric, m(i→j) = (δ_i+δ_j)/2,
+    so the product has exactly the reference's pwave placement for a uniform
+    field (parity-tested against vectorized assembly with
+    ``pairing=pwave(dvector)``)."""
+    from .order_parameters import pwave as _pwave
+
+    if not sk.stencil:
+        raise ValueError("bond_structure_pwave needs a cubic stencil skeleton")
+    σ_p = _pwave(dvector)
+    origin = np.zeros((3,))
+    struct = np.zeros((sk.n_slots, 2, 2), np.complex128)
+    for s, (axis, d) in enumerate(sk.slots):
+        if axis < 0:
+            continue
+        δ = np.zeros((3,))
+        δ[axis] = d
+        struct[s] = σ_p(origin, δ)
+    return struct
+
+
 @lru_cache(maxsize=32)
 def _bond_mask(sk: Skeleton) -> np.ndarray:
     """``[N, S]`` float mask of genuine nearest-neighbor bonds.
@@ -140,14 +167,26 @@ def _bond_penalty(m, struct, V: float):
 
 
 def _resolve_pairing(pairing, sk: Skeleton):
-    """None/'swave' → on-site path; 'dwave' or an [S,2,2] array → bond path."""
+    """None/'swave' → on-site path; 'dwave', ('pwave', dvector), or an
+    [S,2,2] array → bond path."""
     if pairing in (None, "swave", "onsite_swave"):
         return None
     if isinstance(pairing, str):
         if pairing == "dwave":
             return bond_structure_dwave(sk)
+        if pairing == "pwave":
+            raise ValueError(
+                "pairing='pwave' needs a d-vector: pass "
+                "pairing=('pwave', 'e_z * p_x')"
+            )
         raise ValueError(f"Unknown pairing '{pairing}' (use 'swave', 'dwave', "
-                         "or an [S, 2, 2] structure array)")
+                         "('pwave', dvector), or an [S, 2, 2] structure array)")
+    if (
+        isinstance(pairing, tuple)
+        and len(pairing) == 2
+        and pairing[0] == "pwave"
+    ):
+        return bond_structure_pwave(sk, pairing[1])
     struct = np.asarray(pairing)
     if struct.shape != (sk.n_slots, 2, 2):
         raise ValueError(
@@ -230,6 +269,9 @@ def make_total_free_energy(
     - ``"dwave"``: bond singlet with the d_{x²−y²} form factor — the bond
       amplitude is (δ_i+δ_j)/2 with ±jσ2 on x/y bonds
       (:func:`bond_structure_dwave`); condensation term Σ_bonds |Δ_b|²/V.
+    - ``("pwave", dvector)``: bond triplet with the d-vector grammar of
+      :func:`bodge_tpu.models.pwave` (:func:`bond_structure_pwave`), e.g.
+      ``("pwave", "e_z * p_x")``.
     - an ``[S, 2, 2]`` array: custom per-slot bond structure.
 
     ``delta_max`` is the KPM paths' validity envelope: the Chebyshev scale

@@ -247,3 +247,101 @@ def test_pallas_sharded_dwave_gradient_matches_finite_difference():
     e0 = jnp.zeros(lattice.size).at[7].set(1.0)
     fd = (float(F(x + eps * e0)) - float(F(x - eps * e0))) / (2 * eps)
     assert np.isclose(float(g[7]), fd, rtol=5e-2, atol=2e-4), (float(g[7]), fd)
+
+
+# ---------------------------------------------------------------------------
+# Bond-triplet (p-wave) pairing fields
+# ---------------------------------------------------------------------------
+def test_bond_insert_matches_pwave_assembly():
+    """data_with_bond_singlet with the odd-parity p-wave structure
+    reproduces the reference-style DSL assembly with pwave(dvector)
+    (reference ``bodge/hamiltonian.py:409-459``)."""
+    from bodge_tpu import pwave
+
+    for dvec in ("e_z * p_x", "e_x * p_y + je_y * p_x"):
+        lattice, normal = normal_metal((8, 6, 1), mu=0.3)
+        Δp = 0.21
+
+        σ_p = pwave(dvec)
+        dsl = Hamiltonian(lattice)
+        with dsl as (H, D):
+            for i in lattice.sites():
+                H[i, i] = -0.3 * σ0
+            for i, j in lattice.bonds():
+                H[i, j] = -1.0 * σ0
+                D[i, j] = Δp * σ_p(i, j)
+
+        struct = sc.bond_structure_pwave(normal.skeleton, dvec)
+        # Antisymmetry carried by the structure: struct(+δ) = −struct(−δ).
+        for s, (axis, d) in enumerate(normal.skeleton.slots):
+            if axis >= 0:
+                t = normal.skeleton.trans_slot[s]
+                np.testing.assert_allclose(struct[t], -struct[s], atol=1e-14)
+        data2 = sc.data_with_bond_singlet(
+            jnp.asarray(normal.data),
+            jnp.full((lattice.size,), Δp, normal.data.dtype),
+            normal.skeleton, struct,
+        )
+        from bodge_tpu.ops import blocksparse as bs
+
+        M1 = dsl.matrix("dense")
+        M2 = bs.ell_to_dense(np.asarray(data2), normal.skeleton)
+        np.testing.assert_allclose(M2, M1, atol=1e-12)
+        assert np.abs(M2 - M2.conj().T).max() < 1e-12
+
+
+def test_resolve_pairing_pwave_needs_dvector():
+    lattice, system = normal_metal((6, 4, 1))
+    with pytest.raises(ValueError, match="d-vector"):
+        sc.make_total_free_energy(system, V=2.0, pairing="pwave")
+
+
+def test_pwave_objective_kpm_tracks_dense():
+    lattice, system = normal_metal((12, 4, 1), mu=0.0)
+    V, T = 2.0, 0.1
+    pairing = ("pwave", "e_z * p_x")
+    Fd = sc.make_total_free_energy(system, V=V, temperature=T,
+                                   method="dense", pairing=pairing)
+    Fk = sc.make_total_free_energy(system, V=V, temperature=T, method="kpm",
+                                   order=512, samples=512, pairing=pairing)
+    for d in (0.1, 0.3, 0.6):
+        x = jnp.full((lattice.size,), d, system.data.dtype)
+        assert np.isclose(float(Fk(x)), float(Fd(x)), rtol=0.05), d
+
+
+def test_solve_gap_pwave_dense_interior_minimum():
+    """The p-wave gap equation has a superconducting solution at strong
+    coupling, and solve_gap(pairing=('pwave', …)) finds the scan minimum."""
+    lattice, system = normal_metal((10, 4, 1), mu=0.0)
+    V, T = 3.0, 0.0
+    pairing = ("pwave", "e_z * p_x")
+    Δ, F_opt = sc.solve_gap(system, V=V, temperature=T, uniform=True,
+                            delta0=0.3, steps=200, learning_rate=0.02,
+                            pairing=pairing)
+    Δ_opt = float(np.real(Δ[0]))
+    F = sc.make_total_free_energy(system, V=V, temperature=T, pairing=pairing)
+    ds = np.linspace(max(0.0, Δ_opt - 0.3), Δ_opt + 0.3, 61)
+    Fs = [float(F(jnp.full((lattice.size,), d, system.data.dtype))) for d in ds]
+    Δ_scan = ds[int(np.argmin(Fs))]
+    assert Δ_opt > 0.05
+    assert abs(Δ_opt - Δ_scan) < 0.02
+    assert F_opt <= min(Fs) + 1e-6 + 0.01 * abs(min(Fs))
+
+
+def test_pallas_sharded_pwave_objective_tracks_dense():
+    """The complex-free packed bond insert also carries the odd-parity
+    triplet structure: sharded-KPM vs dense parity for a chiral d-vector."""
+    lattice, system = normal_metal_2d((16, 4, 1), mu=0.0)
+    V, T = 2.0, 0.2
+    pairing = ("pwave", "e_x * p_y + je_y * p_x")
+    Fd = sc.make_total_free_energy(system, V=V, temperature=T,
+                                   method="dense", pairing=pairing)
+    Fs = sc.make_total_free_energy(
+        system, V=V, temperature=T, method="kpm", impl="pallas_sharded",
+        order=256, samples=128, pairing=pairing,
+    )
+    assert getattr(Fs, "real_input", False)
+    for d in (0.1, 0.4):
+        x = jnp.full((lattice.size,), d, jnp.float32)
+        xd = jnp.full((lattice.size,), d, system.dtype)
+        assert np.isclose(float(Fs(x)), float(Fd(xd)), rtol=0.08), d

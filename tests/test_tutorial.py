@@ -49,6 +49,7 @@ SUBSTITUTIONS = [
     ("samples=64", "samples=4"),
     # solve_gap: cap the gradient-descent steps for CI.
     ("temperature=0.0, uniform=True,", "temperature=0.0, uniform=True, steps=25,"),
+    ("steps=150,", "steps=6,"),
     # The fused-kernel objective runs in interpret mode on CPU — keep the
     # sweep short (the kernels themselves are covered by tests/test_pallas*).
     ('method="kpm", impl="pallas")', 'method="kpm", impl="pallas", order=32, samples=4)'),
