@@ -47,7 +47,7 @@ def main():
     Δ, F = sc.solve_gap(
         system, V=V, temperature=T, uniform=True, delta0=0.25,
         steps=120, learning_rate=20.0 / N,
-        method="kpm", impl="pallas_sharded", order=512, samples=8,
+        method="kpm", impl="pallas_sharded", order=1024, samples=8,
         pairing="dwave",
     )
     out["solve_time_s"] = time.perf_counter() - t0
