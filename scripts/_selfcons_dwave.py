@@ -61,19 +61,30 @@ def main():
     struct = sc.bond_structure_dwave(system.skeleton)
 
     def F_exact(d):
-        import jax.numpy as jnp
-
-        delta = jnp.full((N,), d, system.dtype)
-        data = np.asarray(
-            sc.data_with_bond_singlet(jnp.asarray(system.data), delta,
-                                      system.skeleton, struct)
-        )
-        E = banded_ops.eigvalsh_banded(data, system.skeleton)
+        # Pure-numpy mirror of sc.data_with_bond_singlet / _bond_penalty:
+        # the control must run entirely on the host — the library's jnp
+        # form would compile a complex convert_element_type on the axon
+        # backend, which that backend does not implement (the jnp form is
+        # itself cross-validated against DSL assembly on CPU in
+        # tests/test_selfconsistency.py).
+        sk = system.skeleton
+        st = np.asarray(struct)
+        stH = np.conj(np.swapaxes(st[np.asarray(sk.trans_slot)], -1, -2))
+        mask = sc._bond_mask(sk)
+        active = (np.abs(st).sum(axis=(1, 2)) > 0).astype(float)
+        mask = mask * active[None, :]
+        safe = np.where(sk.valid, sk.cols, 0)
+        delta = np.full((N,), d, np.asarray(system._data).dtype)
+        m = 0.5 * (delta[:, None] + delta[safe]) * mask
+        data = np.array(np.asarray(system._data))
+        data[:, :, 0:2, 2:4] = m[:, :, None, None] * st[None]
+        data[:, :, 2:4, 0:2] = m[:, :, None, None] * stH[None]
+        E = banded_ops.eigvalsh_banded(data, sk)
         Ep = E[E > 0]
         U = -0.5 * float(np.sum(Ep))
         S = 0.0 if T == 0 else float(np.sum(np.log1p(np.exp(-Ep / T))))
-        m = np.asarray(sc.bond_field(delta, system.skeleton, struct))
-        cond = float(np.asarray(sc._bond_penalty(m, struct, V)))
+        w = sc._bond_weights(struct)
+        cond = float(np.sum(w[None, :] * np.abs(m) ** 2) / (2.0 * V))
         return U - T * S + cond
 
     bracket = [max(0.02, d_star - 0.06), d_star - 0.02, d_star,
